@@ -749,6 +749,22 @@ int psq_swfast(const char* s1, int n1, const char* s2, int n2, double al_m,
 
 void psq_srand(unsigned s) { srand(s); }
 
+// Descending argsort using libstdc++ std::sort with a score-only comparator.
+// MakeMutations (cpp/MakeMutations.cpp:83) sorts with an *unstable* sort whose
+// tie permutation we must reproduce exactly; sorting (score, index) pairs with
+// the same comparator through the same libstdc++ introsort yields the
+// identical permutation.
+void psq_argsort_desc(const double* scores, int n, int32_t* order) {
+  struct P {
+    double s;
+    int32_t i;
+  };
+  std::vector<P> v(n);
+  for (int i = 0; i < n; i++) v[i] = {scores[i], i};
+  std::sort(v.begin(), v.end(), [](const P& a, const P& b) { return a.s > b.s; });
+  for (int i = 0; i < n; i++) order[i] = v[i].i;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -166,14 +166,27 @@ def find_point_mutations(data: AlignData) -> list[MutationInfo]:
     return muts
 
 
+def _argsort_desc(scores: np.ndarray) -> np.ndarray:
+    """Descending argsort replicating libstdc++ std::sort's (unstable) tie
+    permutation, via the native core — exact score ties are common for point
+    mutations, and the greedy accept order depends on them."""
+    from .exact._native import LIB
+
+    order = np.zeros(len(scores), dtype=np.int32)
+    LIB.psq_argsort_desc(np.ascontiguousarray(scores, dtype=np.float64),
+                         len(scores), order)
+    return order
+
+
 def make_mutations(engine, data: AlignData, muts: list[MutationScore]) -> int:
     """Greedy acceptance with conflict deferral and recursive re-scoring
-    (MakeMutations.cpp:74-146).  Uses a *stable* descending sort where the
-    reference's std::sort is unstable — identical whenever scores are unique."""
+    (MakeMutations.cpp:74-146).  The descending sort reproduces std::sort's
+    exact tie permutation (see _argsort_desc)."""
     mutspc = 10
     mutbases = 0
 
-    muts = sorted(muts, key=lambda m: -m.score)
+    order = _argsort_desc(np.array([m.score for m in muts], dtype=np.float64))
+    muts = [muts[i] for i in order]
     while muts and muts[-1].score < 0:
         muts.pop()
     if not muts:

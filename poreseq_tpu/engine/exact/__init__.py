@@ -38,8 +38,10 @@ class ExactEngine:
 
         states = seq_to_states(data.sequence)
         pack = pack_mutations(data.sequence, muts)
-        totals = np.zeros(len(muts), dtype=np.float64)
-        per_event = np.zeros(len(muts), dtype=np.float64)
+        # single running accumulator across events, seeded with the -1e-6
+        # null-suppression init, so the f64 addition order matches the
+        # reference's event-major `score += delta` exactly
+        totals = np.full(len(muts), -1e-6, dtype=np.float64)
 
         for ev in data.events:
             al = NativeAligner(ev, data.params)
@@ -48,9 +50,7 @@ class ExactEngine:
             al.fill_backward()
             al.backtrace()
             al.pull_into(ev)
-            per_event[:] = 0.0
-            al.score_mutations(pack, len(data.sequence), per_event)
-            totals += per_event
+            al.score_mutations(pack, len(data.sequence), totals)
             del al
             if data.params.verbose:
                 sys.stderr.write(".")
@@ -60,7 +60,7 @@ class ExactEngine:
             sys.stderr.write("\n")
 
         for ms, t in zip(mutscores, totals):
-            ms.score += t
+            ms.score = float(t)
         return mutscores
 
     def viterbi_mutate(self, events, nkeep, skip_prob, stay_prob, mut_min, mut_max,

@@ -83,6 +83,7 @@ def _load() -> ct.CDLL:
         ct.POINTER(ct.c_double), ct.POINTER(ct.c_int32),
     ]
     lib.psq_srand.argtypes = [ct.c_uint]
+    lib.psq_argsort_desc.argtypes = [_f8, ct.c_int, _i4]
     lib.psq_viterbi_mutate.restype = ct.c_int
     lib.psq_viterbi_mutate.argtypes = [
         ct.c_int, _i4, _i8,  # n_ev, n_levels, lev_off
