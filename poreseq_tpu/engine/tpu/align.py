@@ -1,0 +1,103 @@
+"""TPU-engine alignment scoring: fill + device backtrace + likes.
+
+Assembles the batched banded DP (dp.py) into the ScoreAlignments /
+ScoreMutations plumbing (spec: /root/reference/cpp/MakeMutations.cpp:148-195,
+Alignment.cpp:516-624 for the backtrace).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dp import EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY, FillResult, make_fill
+
+
+@functools.partial(jax.jit, static_argnames=("t_pad", "max_steps"))
+def backtrace_device(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 0,
+                     max_steps: int = 0):
+    """Vectorized best-path backtrace (Alignment.cpp:516-624).
+
+    M/S/steps: [C, E, W]; i0/i1: [E, C+1]; returns ref_align [E,T] (float:
+    0 unaligned, -1 insert, else 1-based ref index), ref_like [E,T]."""
+    C, E, W = M.shape
+    T = t_pad
+
+    def lane(M_e, S_e, sm_e, ss_e, i0_e, i1_e, bi, bj):
+        # per-event walk; arrays [C, W] / [C+1]
+        ral = jnp.zeros(T, M.dtype)
+        rlk = jnp.zeros(T, M.dtype)
+
+        def body(carry, _):
+            i, j, arr, act, ral, rlk = carry
+            jok = (j >= 1) & (j <= C)
+            jc = jnp.clip(j, 1, C)
+            row = i - i0_e[jc]
+            inb = (row >= 0) & (row < W) & (i <= i1_e[jc]) & (i >= i0_e[jc])
+            rowc = jnp.clip(row, 0, W - 1)
+            sc = jnp.where(arr == 0, M_e[jc - 1, rowc], S_e[jc - 1, rowc])
+            stp = jnp.where(arr == 0, sm_e[jc - 1, rowc], ss_e[jc - 1, rowc])
+            ok = act & (i > 0) & jok & inb & (sc > 0.0)
+
+            is_match = stp == MATCH
+            is_ignore = stp == IGNORE
+            is_insert = stp == INSERT
+            is_stay = stp == STAY
+            is_extend = stp == EXTEND
+            is_skip = stp == SKIP
+
+            emit_ref = is_match | is_extend | (is_stay & (arr == 1))
+            emit_ins = is_ignore | is_insert
+            emit = ok & (emit_ref | emit_ins)
+            val = jnp.where(emit_ref, j.astype(M.dtype), jnp.asarray(-1.0, M.dtype))
+
+            widx = jnp.clip(i - 1, 0, T - 1)
+            ral = ral.at[widx].set(jnp.where(emit, val, ral[widx]))
+            rlk = rlk.at[widx].set(jnp.where(emit, sc, rlk[widx]))
+
+            di = jnp.where(emit, 1, 0)
+            dj = jnp.where(is_skip | is_match | is_ignore, 1, 0)
+            narr = jnp.where(is_stay, 1 - arr, arr)
+            bad = (~(is_match | is_ignore | is_insert | is_stay | is_extend | is_skip))
+            act2 = ok & ~bad
+            i2 = jnp.where(ok, i - di, i)
+            j2 = jnp.where(ok, j - dj, j)
+            arr2 = jnp.where(ok, narr, arr)
+            act2 = act2 & (i2 > 0)
+            return (i2, j2, arr2, act2, ral, rlk), None
+
+        init = (bi, bj, jnp.int32(0), (bi > 0), ral, rlk)
+        (i, j, arr, act, ral, rlk), _ = jax.lax.scan(body, init, None,
+                                                     length=max_steps)
+        return ral, rlk
+
+    return jax.vmap(lane)(
+        jnp.moveaxis(M, 1, 0), jnp.moveaxis(S, 1, 0),
+        jnp.moveaxis(steps_m, 1, 0), jnp.moveaxis(steps_s, 1, 0),
+        i0, i1, best_i, best_j,
+    )
+
+
+class FillCache:
+    """Per-(shape, width, dtype) jitted fill functions."""
+
+    def __init__(self):
+        self._fills = {}
+
+    def get(self, width: int, dtype):
+        key = (width, str(dtype))
+        if key not in self._fills:
+            fill = make_fill(width, dtype)
+            self._fills[key] = jax.jit(
+                lambda batch, states, i0, i1, off, b=False, _f=fill: _f(
+                    batch, states, i0, i1, off, b
+                ),
+                static_argnames=("b",),
+            )
+        return self._fills[key]
+
+
+FILLS = FillCache()

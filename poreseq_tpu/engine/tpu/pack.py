@@ -1,0 +1,127 @@
+"""Host-side packing: AlignData -> padded EventBatch + band geometry.
+
+Band placement follows Alignment.cpp:127-148: per column refind, the band is
+centered on the event's interpolated alignment (getrefstate) with half-width
+`width`, clamped to [1, n0].  (The curwid->5 shrink branch is retained for
+faithfulness though unreachable: getrefstate returns values in [0, n0].)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...core.events import Event, update_refs
+from ..types import AlignData
+from .dp import EventBatch
+
+
+def _pad_to(x: np.ndarray, n: int, fill=0.0):
+    out = np.full(n, fill, dtype=np.float64)
+    out[: len(x)] = x
+    return out
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_events(events: list[Event], t_pad: int | None = None):
+    """Build the EventBatch arrays (numpy; cast to device later) and return
+    (batch_arrays dict, ref_indexes list)."""
+    E = len(events)
+    n0 = np.array([len(ev.mean) for ev in events], dtype=np.int32)
+    T = t_pad or round_up(int(n0.max()), 256)
+
+    mean = np.zeros((E, T))
+    stdv = np.ones((E, T))
+    mean_rev = np.zeros((E, T))
+    stdv_rev = np.ones((E, T))
+    lsr = np.zeros((E, T))
+    active = np.zeros(E, dtype=bool)
+    lev_mean = np.zeros((E, 1024))
+    lev_stdv = np.ones((E, 1024))
+    log_lev = np.zeros((E, 1024))
+    sd_mean = np.ones((E, 1024))
+    sd_lambda = np.ones((E, 1024))
+    log_lambda = np.zeros((E, 1024))
+    lik4 = np.zeros((E, 4))
+    ref_indexes = []
+
+    for e, ev in enumerate(events):
+        n = n0[e]
+        mean[e, :n] = ev.mean
+        stdv[e, :n] = ev.stdv
+        mean_rev[e, :n] = ev.mean[::-1]
+        stdv_rev[e, :n] = ev.stdv[::-1]
+        lsr[e, :n] = np.log(ev.stdv)[::-1]
+        ri, rs, re = update_refs(ev.ref_align)
+        ref_indexes.append(ri)
+        active[e] = len(ri) > 0
+        m = ev.model
+        d = m.derived()
+        lev_mean[e] = m.level_mean
+        lev_stdv[e] = m.level_stdv
+        log_lev[e] = d["log_lev"]
+        sd_mean[e] = m.sd_mean
+        sd_lambda[e] = d["sd_lambda"]
+        log_lambda[e] = d["log_lambda"]
+        lik4[e] = [d["lik_skip"], d["lik_stay"], d["lik_extend"], d["lik_insert"]]
+
+    arrays = dict(
+        mean=mean, stdv=stdv, mean_rev=mean_rev, stdv_rev=stdv_rev, lsr=lsr,
+        n0=n0, active=active,
+        lev_mean=lev_mean, lev_stdv=lev_stdv, log_lev=log_lev,
+        sd_mean=sd_mean, sd_lambda=sd_lambda, log_lambda=log_lambda,
+        lik_skip=lik4[:, 0], lik_stay=lik4[:, 1],
+        lik_extend=lik4[:, 2], lik_insert=lik4[:, 3],
+    )
+    return arrays, ref_indexes
+
+
+def to_device_batch(arrays: dict, dtype) -> EventBatch:
+    import jax.numpy as jnp
+
+    f = lambda x: jnp.asarray(x, dtype)
+    return EventBatch(
+        mean=f(arrays["mean"]), stdv=f(arrays["stdv"]),
+        mean_rev=f(arrays["mean_rev"]), stdv_rev=f(arrays["stdv_rev"]),
+        lsr=f(arrays["lsr"]),
+        n0=jnp.asarray(arrays["n0"]),
+        active=jnp.asarray(arrays["active"]),
+        lev_mean=f(arrays["lev_mean"]), lev_stdv=f(arrays["lev_stdv"]),
+        log_lev=f(arrays["log_lev"]), sd_mean=f(arrays["sd_mean"]),
+        sd_lambda=f(arrays["sd_lambda"]), log_lambda=f(arrays["log_lambda"]),
+        lik_skip=f(arrays["lik_skip"]), lik_stay=f(arrays["lik_stay"]),
+        lik_extend=f(arrays["lik_extend"]), lik_insert=f(arrays["lik_insert"]),
+    )
+
+
+def band_geometry(ref_indexes, n0: np.ndarray, S: int, width: int, backward: bool):
+    """i0/i1 [E, S+1] per column (col 0 = blank: i0=0, i1=n0).
+
+    Column k (k>=1) corresponds to refind=k forward, refind=S-k+1 backward.
+    Mirrors Alignment.cpp:127-148 / :296-321."""
+    E = len(ref_indexes)
+    i0 = np.zeros((E, S + 1), dtype=np.int32)
+    i1 = np.zeros((E, S + 1), dtype=np.int32)
+    i1[:, 0] = n0
+    refinds = np.arange(1, S + 1)
+    if backward:
+        refinds = S - refinds + 1
+    for e, ri in enumerate(ref_indexes):
+        ne = int(n0[e])
+        if len(ri) > 0:
+            imid = np.searchsorted(ri, refinds, side="left").astype(np.int64)
+            if backward:
+                imid = ne - imid + 1
+        else:
+            imid = np.ones(S, dtype=np.int64)
+        curwid = np.full(S, width, dtype=np.int64)
+        shrink = (curwid < ne) & ((imid < -10) | (imid > ne + 10))
+        curwid[shrink] = 5
+        imid = np.clip(imid, 1, max(ne, 1))
+        lo = np.maximum(imid - curwid, 1)
+        hi = np.minimum(imid + curwid, ne)
+        i0[e, 1:] = lo
+        i1[e, 1:] = hi
+    return i0, i1

@@ -1,0 +1,230 @@
+"""TPU 1024-state Viterbi candidate generator.
+
+Device design (spec: /root/reference/cpp/Viterbi.cpp:239-426): the per-position
+transition max over 1/2/3-base steps decomposes into reshaped maxes of the
+1024-state vector (predecessors of s after j steps are {(s>>2j) + k<<(10-2j)}),
+so each position costs O(1024) vector work instead of 1024^2.
+
+The stochastic backtrace uses JAX PRNG (counted, reproducible) rather than
+glibc rand(); candidate sequences therefore differ from the reference in TPU
+mode — scores still decide acceptance.  Exact-parity runs use the exact
+backend's native Viterbi.
+
+Current implementation note: the observation packing (trimmed-mean emission
+over reads) runs on host; the 1024-state recursion + backtraces run on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...core.events import update_refs, getrefstates
+from ...core.sequence import state_base, next_state
+
+LOG2PI = float(np.log(2.0 * np.pi))
+
+
+def _host_observations(events, skip_prob, stay_prob):
+    """Per-position trimmed-mean observation log-likelihoods [R, 1024] plus
+    the per-position validity, mirroring Viterbi.cpp:269-349."""
+    n_ev = len(events)
+    infos = []
+    for ev in events:
+        ri, rs, re = update_refs(ev.ref_align)
+        d = ev.model.derived()
+        infos.append((ri, rs, re, d))
+    refind = min(i[1] for i in infos)
+
+    obs_rows = []
+    while True:
+        lvls, sds, ks = [], [], []
+        for k, ev in enumerate(events):
+            ri, rs, re, d = infos[k]
+            inds = getrefstates(ri, ev.ref_align, refind)
+            if len(inds) == 0:
+                continue
+            lvls.append(ev.mean[inds].mean())
+            sds.append(ev.stdv[inds].mean())
+            ks.append(k)
+        nalhere = sum(1 for (ri, rs, re, d) in infos if rs <= refind <= re)
+        nlik = len(ks)
+        if nlik <= nalhere * 0.2:
+            if nalhere == 0:
+                break
+            refind += 1
+            continue
+        # per-strand obs over all 1024 states
+        per = np.zeros((nlik, 1024))
+        for t, k in enumerate(ks):
+            ev = events[k]
+            m = ev.model
+            d = infos[k][3]
+            lvl, sd = lvls[t], sds[t]
+            d1 = (lvl - m.level_mean) / m.level_stdv
+            ln = -0.5 * (d1 * d1 + LOG2PI) - d["log_lev"]
+            d2 = (sd - m.sd_mean) / m.sd_mean
+            lig = 0.5 * (
+                d["log_lambda"] - 3 * np.log(sd) - LOG2PI
+                - d2 * d2 * d["sd_lambda"] / sd
+            )
+            per[t] = ln + lig
+        if nlik > 1:
+            per.sort(axis=0)
+            nskip = int(np.floor(nlik * 0.25))
+            if nskip > nlik - 2:
+                nskip = 0
+            obs = per[nskip:].sum(axis=0) / (nlik - nskip)
+        else:
+            obs = per[0]
+        obs_rows.append(obs)
+        refind += 1
+    return np.asarray(obs_rows)
+
+
+def _viterbi_sweep(obs, skip_prob, stay_prob):
+    """Device recursion: returns (liks [1024], backptrs [R,1024] i32,
+    fwdprobs [R,1024] f32)."""
+    skip_lik = float(np.log(skip_prob))
+    stay_lik = float(np.log(stay_prob))
+    l25 = float(np.log(0.25))
+
+    def group_max(V, j):
+        # max over predecessors after a j-base step: reshape + max + repeat
+        g = V.reshape(1 << (2 * j), 1024 >> (2 * j)).max(axis=0)
+        return jnp.repeat(g, 1 << (2 * j))
+
+    def group_argmax(V, j):
+        # argmax k (first max) within the j-step predecessor group; returns
+        # the predecessor state index for each destination state
+        Vr = V.reshape(1 << (2 * j), 1024 >> (2 * j))
+        karg = jnp.argmax(Vr, axis=0)  # [1024 >> 2j], first occurrence
+        base = jnp.arange(1024, dtype=jnp.int32) >> (2 * j)
+        k = karg[base].astype(jnp.int32)
+        return (base + (k << (10 - 2 * j))).astype(jnp.int32)
+
+    def group_sum(F, j):
+        g = F.reshape(1 << (2 * j), 1024 >> (2 * j)).sum(axis=0)
+        return jnp.repeat(g, 1 << (2 * j))
+
+    def step(carry, ob):
+        liks, fwd = carry
+        lsp1 = l25
+        lsp2 = l25 + l25 + skip_lik
+        lsp3 = lsp2 + l25 + skip_lik
+        m1 = group_max(liks, 1) + lsp1
+        m2 = group_max(liks, 2) + lsp2
+        m3 = group_max(liks, 3) + lsp3
+        mstay = liks + stay_lik
+        best = jnp.maximum(jnp.maximum(m1, m2), jnp.maximum(m3, mstay))
+        newlik = ob + best
+        # backpointer with the reference's priority: j=1 < j=2 < j=3 < stay,
+        # strict > between groups (earlier wins ties)
+        bp = group_argmax(liks, 1)
+        cur = m1
+        for j, mj in ((2, m2), (3, m3)):
+            upd = mj > cur
+            bp = jnp.where(upd, group_argmax(liks, j), bp)
+            cur = jnp.where(upd, mj, cur)
+        upd = mstay > cur
+        bp = jnp.where(upd, jnp.arange(1024, dtype=jnp.int32), bp)
+
+        sp1 = 0.25
+        sp2 = 0.25 * 0.25 * skip_prob
+        sp3 = sp2 * 0.25 * skip_prob
+        f = (sp1 * group_sum(fwd, 1) + sp2 * group_sum(fwd, 2)
+             + sp3 * group_sum(fwd, 3) + stay_prob * fwd)
+        f = f * jnp.exp(ob)
+        f = f / jnp.sum(f)
+        return (newlik, f), (bp, f)
+
+    init = (jnp.zeros(1024), jnp.full(1024, 1.0 / 1024.0))
+    (liks, _), (bps, fwds) = jax.lax.scan(step, init, jnp.asarray(obs))
+    return liks, bps, fwds
+
+
+def _build_T(skip_prob, stay_prob):
+    """Dense transition matrix (Viterbi.cpp:134-169, nskip=4)."""
+    T = np.zeros((1024, 1024))
+    for curst in range(1024):
+        sp = 0.25
+        for j in range(1, 5):
+            n = 1 << (2 * j)
+            prev = (curst >> (2 * j)) + (np.arange(n) << (10 - 2 * j))
+            np.add.at(T[curst], prev, sp)
+            sp = sp * 0.25 * skip_prob
+    T[np.arange(1024), np.arange(1024)] = stay_prob
+    return T
+
+
+def _states_to_seq(states: np.ndarray) -> str:
+    """State path -> base string (Viterbi.cpp:171-237)."""
+    seq = [state_base(int(states[0]), 0)]
+    cur = int(states[0])
+    for s in states[1:]:
+        s = int(s)
+        if s == cur:
+            continue
+        found = False
+        for nskips in range(1, 5):
+            shifted = (cur << (2 * nskips)) & 1023
+            ind = s - shifted
+            if 0 <= ind < (1 << (2 * nskips)) and next_state(cur, ind, nskips) == s:
+                for j in range(1, nskips + 1):
+                    seq.append(state_base(cur, j))
+                cur = s
+                found = True
+                break
+        if not found:
+            cur = s
+            seq.append(state_base(cur, 0))
+    for j in range(1, 5):
+        seq.append(state_base(cur, j))
+    return "".join(seq)
+
+
+def viterbi_mutate_tpu(events, nkeep, skip_prob, stay_prob, mut_min, mut_max,
+                       verbose=False, seed: int = 0):
+    obs = _host_observations(events, skip_prob, stay_prob)
+    if len(obs) == 0:
+        return []
+    liks, bps, fwds = _viterbi_sweep(obs, skip_prob, stay_prob)
+    liks = np.asarray(liks)
+    startst = int(np.argmax(liks))
+    n = len(obs)
+
+    if nkeep == 0:
+        bps_h = np.asarray(bps)
+        states = np.zeros(n, dtype=np.int64)
+        cur = startst
+        for i in range(n - 1, -1, -1):
+            states[i] = cur
+            cur = int(bps_h[i, cur])
+        return [_states_to_seq(states)]
+
+    # stochastic backtraces on device: sample predecessor ~ T[cur] * fwd^atten
+    T = jnp.asarray(_build_T(skip_prob, stay_prob))
+    fwds_j = jnp.asarray(fwds)
+
+    def backtrace(atten, key):
+        def step(carry, xs):
+            cur, key = carry
+            f = xs
+            key, sub = jax.random.split(key)
+            probs = T[cur] * jnp.power(f, atten)
+            probs = probs / jnp.sum(probs)
+            nxt = jax.random.categorical(sub, jnp.log(probs + 1e-300))
+            return (nxt.astype(jnp.int32), key), cur
+
+        (_, _), states_rev = jax.lax.scan(
+            step, (jnp.int32(startst), key), fwds_j, reverse=True)
+        return states_rev
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), nkeep)
+    attens = jnp.asarray(
+        [mut_min + (mut_max - mut_min) * k / float(nkeep) for k in range(nkeep)])
+    paths = jax.vmap(backtrace)(attens, keys)
+    paths = np.asarray(paths)
+    return [_states_to_seq(paths[k]) for k in range(nkeep)]
