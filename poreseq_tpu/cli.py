@@ -1,0 +1,232 @@
+"""poreseq-compatible command line interface.
+
+Mirrors /root/reference/poreseq/cmdline.py: subcommands consensus, variant,
+train, split, merge, extract with identical flags and output formats, plus a
+--backend flag selecting the compute engine (exact CPU oracle vs TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from multiprocessing import Pool
+
+import numpy as np
+
+from .core.params import load_params, save_params, vary_params
+from .core.regions import MutationInfo, RegionInfo
+from .io.regions_io import extract_fasta, merge_fasta, split_fasta, split_regions
+from .pipeline import mutate, variant as variant_fn
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="poreseq")
+    subparsers = parser.add_subparsers(help="Nanopore sequence consensus tool")
+
+    parse_cons = subparsers.add_parser(
+        "consensus", help="run consensus algorithm using alignment")
+    parse_cons.add_argument("ref", help="reference fasta file")
+    parse_cons.add_argument("bam", help="input BAM file")
+    parse_cons.add_argument("dir", help="root fast5 directory")
+    group = parse_cons.add_mutually_exclusive_group(required=False)
+    group.add_argument("-r", "--region", default=None,
+                       help="region to correct (eg. 1000:3000 or header_name:1000:3000)")
+    group.add_argument("-R", "--region-file", default=None,
+                       help="file containing region strings, one per line")
+    parse_cons.add_argument("-i", "--iterations", type=int, default=4,
+                            help="how many iterations to run")
+    parse_cons.add_argument("-p", "--params", default=None,
+                            help="parameter file to use")
+    parse_cons.add_argument("-v", "--verbose", action="count", default=0,
+                            help="output verbosity (0-2)")
+    parse_cons.add_argument("-o", "--output", default=None,
+                            help="output fasta file")
+    parse_cons.add_argument("-T", "--test", action="store_true", default=False,
+                            help="test mode: seed with loaded sequence, output score as well")
+    parse_cons.add_argument("--backend", default="exact",
+                            choices=["exact", "tpu"],
+                            help="compute backend")
+    parse_cons.set_defaults(func=consensus)
+
+    parse_var = subparsers.add_parser("variant", help="call sequence variants")
+    parse_var.add_argument("ref", help="reference fasta file")
+    parse_var.add_argument("bam", help="input BAM file")
+    parse_var.add_argument("dir", help="root fast5 directory")
+    group = parse_var.add_mutually_exclusive_group(required=True)
+    group.add_argument("-f", "--fasta", default=None,
+                       help="fasta of variant sequences to test")
+    group.add_argument("-m", "--mut-file", default=None,
+                       help="file with mutations to test")
+    group.add_argument("-a", "--all", action="store_true", default=False,
+                       help="test all single-base mutations")
+    group = parse_var.add_mutually_exclusive_group(required=False)
+    group.add_argument("-r", "--region", default=None)
+    group.add_argument("-R", "--region-file", default=None)
+    parse_var.add_argument("-p", "--params", default=None)
+    parse_var.add_argument("-v", "--verbose", action="count", default=0)
+    parse_var.add_argument("--backend", default="exact",
+                           choices=["exact", "tpu"])
+    parse_var.set_defaults(func=variant)
+
+    parse_train = subparsers.add_parser(
+        "train", help="train model parameters on data")
+    parse_train.add_argument("ref")
+    parse_train.add_argument("bam")
+    parse_train.add_argument("dir")
+    parse_train.add_argument("-i", "--iter", type=int, default=30)
+    parse_train.add_argument("-n", "--threads", type=int, default=4)
+    parse_train.add_argument("-p", "--params", default=None)
+    parse_train.add_argument("-r", "--region", default=None)
+    parse_train.add_argument("-d", "--descend", action="store_true", default=False,
+                             help="Run consensus by descending from reference")
+    parse_train.add_argument("--backend", default="exact",
+                             choices=["exact", "tpu"])
+    parse_train.set_defaults(func=train)
+
+    parse_split = subparsers.add_parser("split", help="split fasta files into chunks")
+    parse_split.add_argument("fasta")
+    parse_split.add_argument("-R", "--region-length", type=int, default=None)
+    group = parse_split.add_mutually_exclusive_group(required=True)
+    group.add_argument("-n", "--num-files", type=int, default=None)
+    group.add_argument("-m", "--per-file", type=int, default=None)
+    parse_split.set_defaults(func=split)
+
+    parse_merge = subparsers.add_parser("merge", help="merge corrected fasta files")
+    parse_merge.add_argument("fasta_out")
+    parse_merge.add_argument("fasta_in", nargs="+")
+    parse_merge.set_defaults(func=merge)
+
+    parse_ext = subparsers.add_parser("extract", help="extract fasta from fast5")
+    parse_ext.add_argument("dirs", nargs="+")
+    parse_ext.add_argument("fasta")
+    parse_ext.add_argument("-p", "--path", action="store_true", default=False)
+    parse_ext.set_defaults(func=extract)
+
+    args = parser.parse_args(argv)
+    if not hasattr(args, "func"):
+        parser.print_help()
+        return
+    args.func(args)
+
+
+def parse_regions(args):
+    """Region resolution (cmdline.py:127-165)."""
+    regions = []
+    if getattr(args, "region_file", None) is not None:
+        if os.path.isfile(args.region_file):
+            regions += [x.strip() for x in open(args.region_file).readlines()]
+    reginfo = RegionInfo(args.region)
+    if reginfo.start is not None:
+        regions.append(args.region)
+    if regions == []:
+        if "max_length" in args.params:
+            regions = split_regions(args.ref, args.params["max_length"],
+                                    userefs=args.region)
+        else:
+            regions = split_regions(args.ref, 10000, userefs=args.region)
+    return regions
+
+
+def consensus(args):
+    args.params = load_params(args.params)
+    args.params["verbose"] = args.verbose
+    regions = parse_regions(args)
+
+    out = sys.stdout if args.output is None else open(args.output, "w")
+    for region in regions:
+        try:
+            seq, acc = mutate(args.ref, args.bam, args.dir, params=args.params,
+                              region=region, test=args.test,
+                              verbose=args.verbose, reps=args.iterations,
+                              backend=args.backend)
+        except Exception as e:
+            sys.stderr.write("Skipping {}: {}\n".format(region, str(e)))
+            continue
+        if args.test:
+            region += " [" + str(round(acc, 2)) + "]"
+        out.write(">{}\n{}\n".format(region, seq))
+        out.flush()
+
+
+def variant(args):
+    args.params = load_params(args.params)
+    regions = parse_regions(args)
+
+    muts = []
+    if args.mut_file is not None:
+        for line in open(args.mut_file).readlines():
+            mi = MutationInfo(line)
+            if mi.start < 0:
+                continue
+            muts.append(mi)
+
+    if "end_trim" not in args.params:
+        args.params["end_trim"] = 0
+    for region in regions:
+        reginfo = RegionInfo(region)
+        curmuts = [x for x in muts
+                   if x.start < reginfo.end - args.params["end_trim"]]
+        muts = [x for x in muts
+                if x.start >= reginfo.end - args.params["end_trim"]]
+        if curmuts == [] and not args.all:
+            continue
+        try:
+            variant_fn(args.ref, args.bam, args.dir, args.fasta, curmuts,
+                       region, args.params, args.verbose, backend=args.backend)
+        except Exception as e:
+            sys.stderr.write("Skipping {}: {}\n".format(region, str(e)))
+            continue
+
+
+class trainhelper:
+    """Picklable closure for the training pool (cmdline.py:235-244)."""
+
+    def __init__(self, _args):
+        self.args = _args
+
+    def __call__(self, params):
+        return mutate(self.args.ref, self.args.bam, self.args.dir,
+                      params=params, region=self.args.region,
+                      test=(not self.args.descend), verbose=1, reps=10,
+                      backend=self.args.backend)
+
+
+def train(args):
+    """Hill-climb on consensus accuracy (cmdline.py:246-267)."""
+    params = load_params(args.params)
+    for i in range(args.iter):
+        paramlist = vary_params(params)
+        if args.threads > 1:
+            with Pool(processes=args.threads) as pool:
+                seqs = pool.map(trainhelper(args), paramlist)
+        else:
+            seqs = [trainhelper(args)(p) for p in paramlist]
+        accs = [s[1] for s in seqs]
+        params = paramlist[int(np.argmax(accs))]
+        save_params("train_best.conf", params)
+        sys.stderr.write("Best at iter {}: {}\n".format(i + 1, max(accs)))
+
+
+def extract(args):
+    fast5files = []
+    for d in args.dirs:
+        fast5files += glob.glob(os.path.join(d, "*.fast5"))
+    extract_fasta(fast5files, args.fasta, args.path, False)
+
+
+def split(args):
+    if args.region_length is None:
+        split_fasta(args.fasta, args.num_files, args.per_file)
+    else:
+        split_regions(args.fasta, args.region_length, args.num_files,
+                      args.per_file)
+
+
+def merge(args):
+    merge_fasta(args.fasta_in, args.fasta_out)
+
+
+if __name__ == "__main__":
+    main()

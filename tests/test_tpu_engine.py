@@ -1,0 +1,127 @@
+"""TPU engine vs exact oracle (CPU, virtual devices).
+
+f64 mode must agree with the exact engine to ~1e-9; f32 (the on-TPU dtype)
+must agree on every accept/reject decision on representative data.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poreseq_tpu.core.regions import MutationInfo
+from poreseq_tpu.engine.exact import ExactEngine
+from poreseq_tpu.engine.types import AlignData
+from poreseq_tpu.sim import simulate_session
+
+
+@pytest.fixture(scope="module")
+def x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def _session(seed=42, **kw):
+    rng = np.random.default_rng(seed)
+    kw.setdefault("ref_len", 200)
+    kw.setdefault("coverage", 4)
+    return simulate_session(rng, **kw)
+
+
+def _rand_muts(rng, seq, n):
+    muts = []
+    for _ in range(n):
+        start = int(rng.integers(0, len(seq) - 6))
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            o, mu = seq[start], "ACGT"[int(rng.integers(0, 4))]
+        elif kind == 1:
+            o, mu = "", "ACGT"[int(rng.integers(0, 4))]
+        else:
+            o, mu = seq[start : start + int(rng.integers(1, 4))], ""
+        mi = MutationInfo()
+        mi.start, mi.orig, mi.mut = start, o, mu
+        muts.append(mi)
+    return muts
+
+
+def test_score_alignments_f64_matches_exact(x64):
+    from poreseq_tpu.engine.tpu import TpuEngine
+
+    pa, _ = _session()
+    dE, dT = AlignData.from_session(pa), AlignData.from_session(pa)
+    lE = np.zeros(len(pa.sequence))
+    lT = np.zeros(len(pa.sequence))
+    sE = ExactEngine().score_alignments(dE, likes=lE)
+    sT = TpuEngine(dtype=jnp.float64).score_alignments(dT, likes=lT)
+    np.testing.assert_allclose(sE, sT, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(lE, lT, rtol=0, atol=1e-8)
+    for evE, evT in zip(dE.events, dT.events):
+        np.testing.assert_array_equal(evE.ref_align, evT.ref_align)
+
+
+def test_score_mutations_f64_matches_exact(x64):
+    from poreseq_tpu.engine.tpu import TpuEngine
+
+    rng = np.random.default_rng(1)
+    pa, _ = _session(seed=11, draft_error=0.04)
+    dE, dT = AlignData.from_session(pa), AlignData.from_session(pa)
+    muts = _rand_muts(rng, pa.sequence, 25)
+    sE = np.array([m.score for m in ExactEngine().score_mutations(dE, muts)])
+    sT = np.array(
+        [m.score for m in TpuEngine(dtype=jnp.float64).score_mutations(dT, muts)]
+    )
+    np.testing.assert_allclose(sE, sT, rtol=0, atol=1e-8)
+
+
+def test_score_mutations_f32_sign_agreement():
+    from poreseq_tpu.engine.tpu import TpuEngine
+
+    rng = np.random.default_rng(2)
+    pa, _ = _session(seed=13, ref_len=300, coverage=6, draft_error=0.04)
+    dE, dT = AlignData.from_session(pa), AlignData.from_session(pa)
+    muts = _rand_muts(rng, pa.sequence, 40)
+    sE = np.array([m.score for m in ExactEngine().score_mutations(dE, muts)])
+    sT = np.array([m.score for m in TpuEngine().score_mutations(dT, muts)])
+    assert np.max(np.abs(sE - sT)) < 0.01
+    assert np.all((sE > 0) == (sT > 0))
+
+
+def test_tpu_consensus_converges():
+    pa, truth = _session(seed=7, ref_len=300, coverage=8, draft_error=0.04,
+                         backend="tpu")
+    from poreseq_tpu.api import swalign
+
+    a0 = swalign(pa.sequence, truth)[0]
+    pa.Mutate(reps=3)
+    pa.Refine()
+    a1 = swalign(pa.sequence, truth)[0]
+    assert a1 > a0
+    assert a1 >= 99.5
+
+
+def test_tpu_viterbi_candidates_plausible():
+    from poreseq_tpu.engine.tpu.viterbi import viterbi_mutate_tpu
+    from poreseq_tpu.api import swalign
+
+    pa, truth = _session(seed=3, ref_len=150, coverage=6)
+    seqs = viterbi_mutate_tpu(pa.events, 4, 0.05, 0.01, 0.33, 0.75)
+    assert len(seqs) == 4
+    for s in seqs:
+        # candidates seed proposals only; both engines produce ~55-65% here
+        acc = swalign(s, truth)[0]
+        assert acc > 45.0
+
+
+def test_tpu_viterbi_deterministic_matches_exact():
+    # nkeep=0 (deterministic backtrace) must reproduce the exact engine's
+    # candidate string exactly
+    pa, truth = _session(seed=5, ref_len=150, coverage=6)
+    from poreseq_tpu.engine.tpu.viterbi import viterbi_mutate_tpu
+
+    data = AlignData.from_session(pa)
+    se = ExactEngine().viterbi_mutate(data.events, 0, 0.05, 0.01, 0.33, 0.75)
+    st = viterbi_mutate_tpu(pa.events, 0, 0.05, 0.01, 0.33, 0.75)
+    assert len(st) == 1 and st[0] == se[0]
