@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Benchmark: banded pair-HMM DP throughput on one TPU chip.
+
+Headline metric: DP cells/sec/chip on the flagship banded fill (forward +
+backward, both lattices), on a 1 kb region at ~10X two-strand coverage with
+the reference's realign_width=300 — the configuration behind the reference's
+"~2 min per 1 kb region" CPU number (/root/reference/README.md:102).
+
+Baseline: the reference CPU implementation implies ~1e7 DP cells/sec
+(SURVEY.md section 6 derivation); vs_baseline is measured/1e7.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from poreseq_tpu.engine.tpu.dp import make_fill
+    from poreseq_tpu.engine.tpu.pack import (
+        band_geometry, pack_events, round_up, to_device_batch,
+    )
+    from poreseq_tpu.engine.types import AlignData
+    from poreseq_tpu.core.sequence import seq_to_states
+    from poreseq_tpu.sim import simulate_session
+
+    rng = np.random.default_rng(0)
+    REF_LEN = 1000
+    COVERAGE = 20  # 10X, two strands per read
+    WIDTH = 300    # realign_width
+
+    pa, _ = simulate_session(rng, ref_len=REF_LEN, coverage=COVERAGE)
+    data = AlignData.from_session(pa)
+    states = seq_to_states(data.sequence)
+    S = len(states)
+    S_pad = round_up(S, 64)
+    states_pad = np.full(S_pad, -1, dtype=np.int32)
+    states_pad[:S] = states
+    states_rev_pad = np.full(S_pad, -1, dtype=np.int32)
+    states_rev_pad[:S] = states[::-1]
+    arrays, ref_indexes = pack_events(data.events)
+    n0 = arrays["n0"]
+    batch = to_device_batch(arrays, jnp.float32)
+
+    def geom(backward):
+        i0, i1 = band_geometry(ref_indexes, n0, S, WIDTH, backward=backward)
+        E = i0.shape[0]
+        i0p = np.zeros((E, S_pad + 1), dtype=np.int32)
+        i1p = np.zeros((E, S_pad + 1), dtype=np.int32)
+        i0p[:, : S + 1] = i0
+        i1p[:, : S + 1] = i1
+        i0p[:, S + 1 :] = 1
+        return jnp.asarray(i0p), jnp.asarray(i1p), i0, i1
+
+    i0f, i1f, i0fh, i1fh = geom(False)
+    i0b, i1b, i0bh, i1bh = geom(True)
+
+    # actual DP cells: band rows per column, 2 lattices, both directions
+    cells = 0
+    for h0, h1 in ((i0fh, i1fh), (i0bh, i1bh)):
+        cells += int(np.sum(np.maximum(h1[:, 1:] - h0[:, 1:] + 1, 0)) * 2)
+
+    fill = make_fill(WIDTH, jnp.float32)
+
+    # The tunnel-attached device does not honor block_until_ready, so the
+    # benchmark chains K dual fills inside ONE jitted fori_loop — each
+    # iteration's lik_offset depends on the previous iteration's materialized
+    # band matrices (loop carry), so the stores are real and nothing can be
+    # dead-code-eliminated — and syncs once via a scalar host read.  The
+    # per-iteration time is the slope between two K values, which cancels the
+    # per-call tunnel latency.
+    E = len(arrays["n0"])
+    W = 2 * WIDTH + 1
+    C = S_pad
+
+    def make_loop(k_iters):
+        @jax.jit
+        def run(batch, sf, sr, i0f, i1f, i0b, i1b):
+            def body(_, carry):
+                Mf, Mb, smf = carry
+                # opaque data dependency on the previous iteration's outputs
+                off = jnp.where(Mf[0, 0, 0] > 1e30, 5.0, 4.5)
+                off = off + jnp.where(smf[0, 0, 0] > 250, 1e-6, 0.0)
+                rf = fill(batch, sf, i0f, i1f, off, False)
+                rb = fill(batch, sr, i0b, i1b, off, True)
+                return (rf.M, rb.M, rf.steps_m)
+
+            init = (jnp.zeros((C, E, W), jnp.float32),
+                    jnp.zeros((C, E, W), jnp.float32),
+                    jnp.zeros((C, E, W), jnp.uint8))
+            Mf, Mb, smf = jax.lax.fori_loop(0, k_iters, body, init)
+            return Mf[C - 1, 0, 0] + Mb[C - 1, 0, 0]
+
+        return run
+
+    args = (batch, jnp.asarray(states_pad), jnp.asarray(states_rev_pad),
+            i0f, i1f, i0b, i1b)
+
+    def timed(k):
+        run = make_loop(k)
+        float(run(*args))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(*args))  # host-synced via scalar read
+        return time.perf_counter() - t0
+
+    k_small, k_big = 2, 18
+    t_small = min(timed(k_small) for _ in range(2))
+    t_big = min(timed(k_big) for _ in range(2))
+    dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
+
+    cells_per_sec = cells / dt
+    baseline = 1e7  # reference CPU implied rate (SURVEY.md section 6)
+    result = {
+        "metric": "dp_cells_per_sec_per_chip",
+        "value": float(cells_per_sec),
+        "unit": "cells/s",
+        "vs_baseline": float(cells_per_sec / baseline),
+    }
+    print(json.dumps(result))
+    print(
+        f"# fill wall time {dt*1000:.2f} ms for {cells/1e6:.1f}M cells "
+        f"({COVERAGE} events x {REF_LEN} b region, width {WIDTH})",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
