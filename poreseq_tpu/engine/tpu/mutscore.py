@@ -27,24 +27,29 @@ from .pack import band_geometry, round_up
 CHUNK = 128
 
 
-def _join(Mcol, Scol, ci0, cbest, Mb_c, Sb_c, bi0, bbest, n0, W, dtype):
+def _join(Mcol, Scol, ci0, cbest, Mb_c, Sb_c, bi0, bbest, n0, dtype):
     """columnMax(fwd column, back column) — max over event rows of the
-    paired fwd+back sums plus both prefix maxima, floored at 0."""
-    r = jnp.arange(W, dtype=jnp.int32)
+    paired fwd+back sums plus both prefix maxima, floored at 0
+    (Alignment.h:181-214).  Column widths are taken from the array shapes
+    (the refilled fwd column may be narrower than the stored back column)."""
+    Wf = Mcol.shape[0]
+    Wb = Mb_c.shape[0]
     # part A: rows of the fwd column
+    r = jnp.arange(Wf, dtype=jnp.int32)
     jf = ci0 + r
     rb = (n0 - jf + 1) - bi0
-    okb = (rb >= 0) & (rb < W)
-    rbc = jnp.clip(rb, 0, W - 1)
+    okb = (rb >= 0) & (rb < Wb)
+    rbc = jnp.clip(rb, 0, Wb - 1)
     bvM = jnp.where(okb, Mb_c[rbc], 0.0)
     bvS = jnp.where(okb, Sb_c[rbc], 0.0)
     okf = (jf >= 1) & (jf <= n0)
     sA = jnp.max(jnp.where(okf, jnp.maximum(Mcol + bvM, Scol + bvS), 0.0))
     # part B: rows of the back column (fwd side gathered; covers back-only rows)
-    jb2 = bi0 + r
+    rB = jnp.arange(Wb, dtype=jnp.int32)
+    jb2 = bi0 + rB
     rf = (n0 - jb2 + 1) - ci0
-    okf2 = (rf >= 0) & (rf < W)
-    rfc = jnp.clip(rf, 0, W - 1)
+    okf2 = (rf >= 0) & (rf < Wf)
+    rfc = jnp.clip(rf, 0, Wf - 1)
     fvM = jnp.where(okf2, Mcol[rfc], 0.0)
     fvS = jnp.where(okf2, Scol[rfc], 0.0)
     okb2 = (jb2 >= 1) & (jb2 <= n0)
@@ -55,13 +60,21 @@ def _join(Mcol, Scol, ci0, cbest, Mb_c, Sb_c, bi0, bbest, n0, W, dtype):
     return sm
 
 
-def _mut_kernel_factory(W: int, K: int, dtype):
-    @functools.partial(jax.jit, static_argnames=())
+def _mut_kernel_factory(W: int, Ws: int, K: int, dtype):
+    """Chunked mutation-delta kernel.
+
+    W  = stored-band rectangle width (2*realign_width+1);
+    Ws = refill rectangle width (2*scoring_width+1) — the refilled columns
+    live on the narrower scoring band (Alignment.cpp:471), so the refill
+    compute is O(Ws) instead of O(W); only the first step (which reads the
+    wide copied column) and the joins touch the wide rectangles."""
+
+    @jax.jit
     def kernel(batch, Mf, Sf, i0f, i1f, bpf, Mb, Sb, i0b, bpb,
                starts, startinds, mlens, nst, win, i0r, i1r,
                valid_mut, lik_offset, S_real):
         C1, E, _ = Mf.shape  # [C+1, E, W]
-        rows = jnp.arange(W, dtype=jnp.int32)
+        rows = jnp.arange(Ws, dtype=jnp.int32)
         NB = neg_big(dtype)
 
         def one(m_idx):
@@ -83,11 +96,12 @@ def _mut_kernel_factory(W: int, K: int, dtype):
                 lik_ex = batch.lik_extend[e]
                 lik_in = batch.lik_insert[e]
 
-                Mc0 = Mf[startind, e]
-                Sc0 = Sf[startind, e]
-                ci00 = i0f[e, startind]
-                ci10 = i1f[e, startind]
-                cbest0 = bpf[startind, e]
+                # the shared copied column (wide rectangle)
+                Mw = Mf[startind, e]
+                Sw = Sf[startind, e]
+                wi0 = i0f[e, startind]
+                wi1 = i1f[e, startind]
+                wbest = bpf[startind, e]
 
                 # how many refill columns actually exist
                 nfill = jnp.clip(jnp.minimum(startind + mlen + 6, nstm) - startind, 0, K)
@@ -98,6 +112,7 @@ def _mut_kernel_factory(W: int, K: int, dtype):
 
                 def step(carry, k):
                     Mc, Sc, ci0, ci1, cbest, selM, selS, si0, sbest = carry
+                    first = k == 0
                     refind = startind + 1 + k
                     act = (k < mlen + 6) & (refind <= nstm) & (k < nfill)
                     st = winm[k]
@@ -119,13 +134,19 @@ def _mut_kernel_factory(W: int, K: int, dtype):
                     ).astype(dtype)
                     e_obs = jnp.where(in_band, e_obs, 0.0)
 
-                    d = i - ci0
-                    dc = jnp.clip(d, 0, W - 1)
-                    dm1 = jnp.clip(d - 1, 0, W - 1)
-                    pm_i = Mc[dc]
-                    pm_im1 = Mc[dm1]
-                    valid_i = (i >= ci0) & (i <= ci1)
-                    valid_ul = (i > ci0) & (i <= ci1)
+                    # previous column: the wide copied column for step 0,
+                    # the narrow carry afterwards
+                    p0 = jnp.where(first, wi0, ci0)
+                    p1 = jnp.where(first, wi1, ci1)
+                    dW = jnp.clip(i - wi0, 0, W - 1)
+                    dN = jnp.clip(i - ci0, 0, Ws - 1)
+                    pm_i = jnp.where(first, Mw[dW], Mc[dN])
+                    dWm1 = jnp.clip(i - 1 - wi0, 0, W - 1)
+                    dNm1 = jnp.clip(i - 1 - ci0, 0, Ws - 1)
+                    pm_im1 = jnp.where(first, Mw[dWm1], Mc[dNm1])
+
+                    valid_i = (i >= p0) & (i <= p1)
+                    valid_ul = (i > p0) & (i <= p1)
                     skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_sk
                     match_c = jnp.where(valid_ul, pm_im1, 0.0) + e_obs
                     ignore_c = jnp.where(valid_ul, pm_im1 + lik_in, 0.0)
@@ -154,16 +175,24 @@ def _mut_kernel_factory(W: int, K: int, dtype):
                     return (Mc2, Sc2, ci02, ci12, cbest2, selM2, selS2, si02,
                             sbest2), None
 
-                init = (Mc0, Sc0, ci00, ci10, cbest0, Mc0, Sc0, ci00, cbest0)
+                zs = jnp.zeros(Ws, dtype)
+                init = (zs, zs, wi0, wi1, wbest, zs, zs, wi0, wbest)
                 (Mc, Sc, ci0, ci1, cbest, selM, selS, si0, sbest), _ = (
                     jax.lax.scan(step, init, jnp.arange(K, dtype=jnp.int32)))
 
-                # new score: selected refill column joined with the back
-                # column at rab = nst - refind_used + 1 (original back matrix)
+                # new score: selected refill column (or the copied column when
+                # no refill happened) joined with the back column at
+                # rab = nst - refind_used + 1 (original back matrix)
                 rab_new = jnp.clip(nstm - refind_used + 1, 0, S_real)
-                new = _join(selM, selS, si0, sbest,
-                            Mb[rab_new, e], Sb[rab_new, e], i0b[e, rab_new],
-                            bpb[rab_new, e], n0_e, W, dtype)
+                Mbc = Mb[rab_new, e]
+                Sbc = Sb[rab_new, e]
+                bi0c = i0b[e, rab_new]
+                bbc = bpb[rab_new, e]
+                new_n = _join(selM, selS, si0, sbest, Mbc, Sbc, bi0c, bbc,
+                              n0_e, dtype)
+                new_w = _join(Mw, Sw, wi0, wbest, Mbc, Sbc, bi0c, bbc,
+                              n0_e, dtype)
+                new = jnp.where(k_star >= 0, new_n, new_w)
                 # old score: fwd col max(start-3, 1) joined with its mirror
                 raf_old = jnp.clip(jnp.maximum(start - 3, 1), 0, S_real)
                 rab_old = jnp.clip(S_real - jnp.maximum(start - 3, 1) + 1, 0,
@@ -171,7 +200,7 @@ def _mut_kernel_factory(W: int, K: int, dtype):
                 old = _join(Mf[raf_old, e], Sf[raf_old, e], i0f[e, raf_old],
                             bpf[raf_old, e],
                             Mb[rab_old, e], Sb[rab_old, e], i0b[e, rab_old],
-                            bpb[rab_old, e], n0_e, W, dtype)
+                            bpb[rab_old, e], n0_e, dtype)
                 delta = new - old
                 return jnp.where(batch.active[e] & valid_mut[m_idx], delta, 0.0)
 
@@ -186,10 +215,10 @@ def _mut_kernel_factory(W: int, K: int, dtype):
 _KERNELS = {}
 
 
-def get_mut_kernel(W, K, dtype):
-    key = (W, K, str(dtype))
+def get_mut_kernel(W, Ws, K, dtype):
+    key = (W, Ws, K, str(dtype))
     if key not in _KERNELS:
-        _KERNELS[key] = _mut_kernel_factory(W, K, dtype)
+        _KERNELS[key] = _mut_kernel_factory(W, Ws, K, dtype)
     return _KERNELS[key]
 
 
@@ -297,7 +326,7 @@ def score_mutations_tpu(engine, data: AlignData, muts):
             i0r[:, :, e] = np.maximum(imid - p.scoring_width, 1)
             i1r[:, :, e] = np.minimum(imid + p.scoring_width, ne)
 
-        kern = get_mut_kernel(W, K, engine.dtype)
+        kern = get_mut_kernel(W, 2 * p.scoring_width + 1, K, engine.dtype)
         out = kern(
             batch, Mf, Sf, jnp.asarray(i0f), jnp.asarray(i1f), bpf,
             Mb, Sb, jnp.asarray(i0b), bpb,

@@ -69,7 +69,8 @@ def batch_spec(batch):
     return EventBatch(*([P("ev")] * len(batch)))
 
 
-def sharded_consensus_step(mesh: Mesh, width: int, K: int, dtype):
+def sharded_consensus_step(mesh: Mesh, width: int, K: int, dtype,
+                           scoring_width: int | None = None):
     """One scoring round, sharded: banded fwd+back fills (events sharded),
     batched mutation deltas (events x mutations sharded), psum over 'ev' into
     replicated mutation totals, and a deterministic accept mask.
@@ -83,7 +84,8 @@ def sharded_consensus_step(mesh: Mesh, width: int, K: int, dtype):
     from ..engine.tpu.mutscore import _mut_kernel_factory
 
     fill = make_fill(width, dtype)
-    mutk = _mut_kernel_factory(2 * width + 1, K, dtype)
+    scoring_width = scoring_width if scoring_width is not None else width // 2
+    mutk = _mut_kernel_factory(2 * width + 1, 2 * scoring_width + 1, K, dtype)
 
     def local_step(batch, states, states_rev, i0f, i1f, i0b, i1b,
                    starts, startinds, mlens, nst, win, i0r, i1r, valid,
