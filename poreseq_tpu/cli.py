@@ -48,6 +48,12 @@ def main(argv=None):
     parse_cons.add_argument("--backend", default="exact",
                             choices=["exact", "tpu"],
                             help="compute backend")
+    parse_cons.add_argument("--resume", action="store_true", default=False,
+                            help="skip regions already present in the output fasta")
+    parse_cons.add_argument("--shard-index", type=int, default=0,
+                            help="this worker's index for multi-host region sharding")
+    parse_cons.add_argument("--num-shards", type=int, default=1,
+                            help="total workers; regions are dealt round-robin")
     parse_cons.set_defaults(func=consensus)
 
     parse_var = subparsers.add_parser("variant", help="call sequence variants")
@@ -134,8 +140,26 @@ def consensus(args):
     args.params["verbose"] = args.verbose
     regions = parse_regions(args)
 
-    out = sys.stdout if args.output is None else open(args.output, "w")
+    # multi-host region sharding: the TPU-era equivalent of the reference's
+    # manual .region file splitting (README.md:48-62) — workers deal regions
+    # round-robin and the outputs are `poreseq merge`d afterwards
+    if args.num_shards > 1:
+        regions = regions[args.shard_index :: args.num_shards]
+
+    # region-granular resume: output is flushed after every region, so a
+    # killed job loses at most one region (SURVEY.md section 5.4)
+    done = set()
+    if args.resume and args.output is not None and os.path.isfile(args.output):
+        from .io.fasta import read_fasta
+
+        done = {name.split(" ")[0] for name in read_fasta(args.output)}
+        out = open(args.output, "a")
+    else:
+        out = sys.stdout if args.output is None else open(args.output, "w")
     for region in regions:
+        if region.split(" ")[0] in done:
+            sys.stderr.write("Resuming past {}\n".format(region))
+            continue
         try:
             seq, acc = mutate(args.ref, args.bam, args.dir, params=args.params,
                               region=region, test=args.test,
