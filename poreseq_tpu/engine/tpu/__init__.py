@@ -57,7 +57,9 @@ class TpuEngine:
         i1p[:, : S + 1] = i1
         i0p[:, S + 1 :] = 1
         i1p[:, S + 1 :] = 0
-        fill = FILLS.get(width, self.dtype)
+        # the backward matrix's backpointers are never read (backtrace is
+        # forward-only), so skip computing/storing them
+        fill = FILLS.get(width, self.dtype, need_steps=not backward)
         res = fill(batch, jnp.asarray(states_pad), jnp.asarray(i0p),
                    jnp.asarray(i1p), float(lik_offset), b=backward)
         return res, i0p, i1p

@@ -87,10 +87,10 @@ class FillCache:
     def __init__(self):
         self._fills = {}
 
-    def get(self, width: int, dtype):
-        key = (width, str(dtype))
+    def get(self, width: int, dtype, need_steps: bool = True):
+        key = (width, str(dtype), need_steps)
         if key not in self._fills:
-            fill = make_fill(width, dtype)
+            fill = make_fill(width, dtype, need_steps)
             self._fills[key] = jax.jit(
                 lambda batch, states, i0, i1, off, b=False, _f=fill: _f(
                     batch, states, i0, i1, off, b

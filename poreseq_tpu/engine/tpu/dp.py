@@ -131,8 +131,12 @@ def column_solve(D, a_stay, a_ext, lik_insert, floor0, dtype):
     return M, S
 
 
-def make_fill(width: int, dtype=jnp.float32):
-    """Build the jittable banded fill for a given half-width (static)."""
+def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
+    """Build the jittable banded fill for a given half-width (static).
+
+    need_steps=False skips backpointer computation/storage — used for the
+    backward fill, whose steps are never read (the backtrace walks the
+    forward matrix only, Alignment.cpp:516-624)."""
     W = 2 * width + 1
 
     def fill(batch: EventBatch, states, i0, i1, lik_offset, backward: bool):
@@ -215,50 +219,54 @@ def make_fill(width: int, dtype=jnp.float32):
             S = jnp.where(live, S, 0.0)
             e_out = jnp.where(live, e, 0.0)
 
-            # ---- backpointer bytes (candidate walk, strict >) ----
-            Mm1 = jnp.concatenate([jnp.zeros((E, 1), dtype), M[:, :-1]], axis=1)
-            Sm1 = jnp.concatenate([jnp.zeros((E, 1), dtype), S[:, :-1]], axis=1)
-            nfirst = rows[None, :] > 0
-            ins_c = jnp.where(nfirst, Mm1 + lik_insert, 0.0)
-            s4 = jnp.where(nfirst, Mm1 + e_stay + lik_stay, NB)
-            s5 = jnp.where(nfirst, Sm1 + e_stay + lik_extend, NB)
+            if need_steps:
+                # ---- backpointer bytes (candidate walk, strict >) ----
+                Mm1 = jnp.concatenate([jnp.zeros((E, 1), dtype), M[:, :-1]], axis=1)
+                Sm1 = jnp.concatenate([jnp.zeros((E, 1), dtype), S[:, :-1]], axis=1)
+                nfirst = rows[None, :] > 0
+                ins_c = jnp.where(nfirst, Mm1 + lik_insert, 0.0)
+                s4 = jnp.where(nfirst, Mm1 + e_stay + lik_stay, NB)
+                s5 = jnp.where(nfirst, Sm1 + e_stay + lik_extend, NB)
 
-            val = jnp.zeros_like(M)
-            stp = jnp.zeros_like(M, dtype=jnp.uint8)
-            # k=0 skip
-            bp0 = jnp.where(valid_i, jnp.uint8(SKIP), jnp.uint8(IMPLICIT))
-            upd = skip_c > val
-            val = jnp.where(upd, skip_c, val)
-            stp = jnp.where(upd, bp0, stp)
-            # k=1 match
-            bp1 = jnp.where(valid_ul, jnp.uint8(MATCH), jnp.uint8(IMPLICIT))
-            upd = match_c > val
-            val = jnp.where(upd, match_c, val)
-            stp = jnp.where(upd, bp1, stp)
-            # k=2 insert (current column)
-            upd = ins_c > val
-            val = jnp.where(upd, ins_c, val)
-            stp = jnp.where(upd, jnp.uint8(INSERT), stp)
-            # k=3 ignore
-            upd = ignore_c > val
-            val = jnp.where(upd, ignore_c, val)
-            stp = jnp.where(upd, jnp.uint8(IGNORE), stp)
-            # stay override
-            upd = S > val
-            stp = jnp.where(upd, jnp.uint8(STAY), stp)
+                val = jnp.zeros_like(M)
+                stp = jnp.zeros_like(M, dtype=jnp.uint8)
+                # k=0 skip
+                bp0 = jnp.where(valid_i, jnp.uint8(SKIP), jnp.uint8(IMPLICIT))
+                upd = skip_c > val
+                val = jnp.where(upd, skip_c, val)
+                stp = jnp.where(upd, bp0, stp)
+                # k=1 match
+                bp1 = jnp.where(valid_ul, jnp.uint8(MATCH), jnp.uint8(IMPLICIT))
+                upd = match_c > val
+                val = jnp.where(upd, match_c, val)
+                stp = jnp.where(upd, bp1, stp)
+                # k=2 insert (current column)
+                upd = ins_c > val
+                val = jnp.where(upd, ins_c, val)
+                stp = jnp.where(upd, jnp.uint8(INSERT), stp)
+                # k=3 ignore
+                upd = ignore_c > val
+                val = jnp.where(upd, ignore_c, val)
+                stp = jnp.where(upd, jnp.uint8(IGNORE), stp)
+                # stay override
+                upd = S > val
+                stp = jnp.where(upd, jnp.uint8(STAY), stp)
 
-            # stay-lattice steps
-            sfloor = jnp.where(rows[None, :] == 0, NB, 0.0).astype(dtype)
-            sval = sfloor
-            sstp = jnp.zeros_like(stp)
-            upd = s4 > sval
-            sval = jnp.where(upd, s4, sval)
-            sstp = jnp.where(upd, jnp.uint8(STAY), sstp)
-            upd = s5 > sval
-            sstp = jnp.where(upd, jnp.uint8(EXTEND), sstp)
+                # stay-lattice steps
+                sfloor = jnp.where(rows[None, :] == 0, NB, 0.0).astype(dtype)
+                sval = sfloor
+                sstp = jnp.zeros_like(stp)
+                upd = s4 > sval
+                sval = jnp.where(upd, s4, sval)
+                sstp = jnp.where(upd, jnp.uint8(STAY), sstp)
+                upd = s5 > sval
+                sstp = jnp.where(upd, jnp.uint8(EXTEND), sstp)
 
-            stp = jnp.where(live, stp, 0)
-            sstp = jnp.where(live, sstp, 0)
+                stp = jnp.where(live, stp, 0)
+                sstp = jnp.where(live, sstp, 0)
+            else:
+                stp = jnp.zeros((E, 0), jnp.uint8)
+                sstp = jnp.zeros((E, 0), jnp.uint8)
 
             # ---- running best (strict >, first max within column) ----
             Mmask = jnp.where(live, M, NB)

@@ -84,6 +84,7 @@ def sharded_consensus_step(mesh: Mesh, width: int, K: int, dtype,
     from ..engine.tpu.mutscore import _mut_kernel_factory
 
     fill = make_fill(width, dtype)
+    fill_nosteps = make_fill(width, dtype, need_steps=False)
     scoring_width = scoring_width if scoring_width is not None else width // 2
     mutk = _mut_kernel_factory(2 * width + 1, 2 * scoring_width + 1, K, dtype)
 
@@ -91,7 +92,7 @@ def sharded_consensus_step(mesh: Mesh, width: int, K: int, dtype,
                    starts, startinds, mlens, nst, win, i0r, i1r, valid,
                    lik_offset, S_real):
         resf = fill(batch, states, i0f, i1f, lik_offset, False)
-        resb = fill(batch, states_rev, i0b, i1b, lik_offset, True)
+        resb = fill_nosteps(batch, states_rev, i0b, i1b, lik_offset, True)
         zero_col = jnp.zeros((1,) + resf.M.shape[1:], resf.M.dtype)
         Mf = jnp.concatenate([zero_col, resf.M])
         Sf = jnp.concatenate([zero_col, resf.S])
