@@ -13,6 +13,8 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,7 +27,7 @@ def main():
 
     from poreseq_tpu.engine.tpu.dp import make_fill
     from poreseq_tpu.engine.tpu.pack import (
-        band_geometry, pack_events, round_up, to_device_batch,
+        fill_inputs, pack_events, round_up, to_device_batch,
     )
     from poreseq_tpu.engine.types import AlignData
     from poreseq_tpu.core.sequence import seq_to_states
@@ -49,25 +51,22 @@ def main():
     n0 = arrays["n0"]
     batch = to_device_batch(arrays, jnp.float32)
 
-    def geom(backward):
-        i0, i1 = band_geometry(ref_indexes, n0, S, WIDTH, backward=backward)
-        E = i0.shape[0]
-        i0p = np.zeros((E, S_pad + 1), dtype=np.int32)
-        i1p = np.zeros((E, S_pad + 1), dtype=np.int32)
-        i0p[:, : S + 1] = i0
-        i1p[:, : S + 1] = i1
-        i0p[:, S + 1 :] = 1
-        return jnp.asarray(i0p), jnp.asarray(i1p), i0, i1
-
-    i0f, i1f, i0fh, i1fh = geom(False)
-    i0b, i1b, i0bh, i1bh = geom(True)
+    fi = fill_inputs(arrays, ref_indexes, S, S_pad, WIDTH)
+    i0 = jnp.asarray(fi["i0"])
+    i1 = jnp.asarray(fi["i1"])
+    is_pad = jnp.asarray(fi["is_pad"])
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    win0f = tuple(f32(w) for w in fi["fwd"]["win0"])
+    reff = tuple(f32(x) for x in fi["fwd"]["refills"])
+    win0b = tuple(f32(w) for w in fi["bwd"]["win0"])
+    refb = tuple(f32(x) for x in fi["bwd"]["refills"])
 
     # actual DP cells: band rows per column, 2 lattices, both directions
-    cells = 0
-    for h0, h1 in ((i0fh, i1fh), (i0bh, i1bh)):
-        cells += int(np.sum(np.maximum(h1[:, 1:] - h0[:, 1:] + 1, 0)) * 2)
+    h0, h1 = fi["i0"], fi["i1"]
+    cells = int(np.sum(np.maximum(h1[:, 1 : S + 1] - h0[:, 1 : S + 1] + 1, 0)) * 4)
 
     fill = make_fill(WIDTH, jnp.float32)
+    fill_ns = make_fill(WIDTH, jnp.float32, need_steps=False)
 
     # The tunnel-attached device does not honor block_until_ready, so the
     # benchmark chains K dual fills inside ONE jitted fori_loop — each
@@ -82,14 +81,14 @@ def main():
 
     def make_loop(k_iters):
         @jax.jit
-        def run(batch, sf, sr, i0f, i1f, i0b, i1b):
+        def run(batch, sf):
             def body(_, carry):
                 Mf, Mb, smf = carry
                 # opaque data dependency on the previous iteration's outputs
                 off = jnp.where(Mf[0, 0, 0] > 1e30, 5.0, 4.5)
                 off = off + jnp.where(smf[0, 0, 0] > 250, 1e-6, 0.0)
-                rf = fill(batch, sf, i0f, i1f, off, False)
-                rb = fill(batch, sr, i0b, i1b, off, True)
+                rf = fill(batch, sf, i0, i1, win0f, reff, is_pad, off, False)
+                rb = fill_ns(batch, sf, i0, i1, win0b, refb, is_pad, off, True)
                 return (rf.M, rb.M, rf.steps_m)
 
             init = (jnp.zeros((C, E, W), jnp.float32),
@@ -100,8 +99,7 @@ def main():
 
         return run
 
-    args = (batch, jnp.asarray(states_pad), jnp.asarray(states_rev_pad),
-            i0f, i1f, i0b, i1b)
+    args = (batch, jnp.asarray(states_pad))
 
     def timed(k):
         run = make_loop(k)
@@ -131,5 +129,50 @@ def main():
     )
 
 
+def _outer():
+    """Run the measurement in a subprocess with a deadline: the tunnel-attached
+    TPU can wedge indefinitely, and a bench that hangs reports nothing.  On
+    TPU failure/timeout, fall back to the CPU backend (clearly marked)."""
+    env = dict(os.environ)
+    for attempt, extra in (("tpu", {}), ("cpu", {"PSQ_BENCH_CPU": "1"})):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                env={**env, **extra}, capture_output=True, text=True,
+                timeout=1200,
+            )
+            line = None
+            for ln in out.stdout.splitlines():
+                if ln.startswith("{"):
+                    line = ln
+            if out.returncode == 0 and line:
+                if attempt == "cpu":
+                    d = json.loads(line)
+                    d["metric"] += "_CPU_FALLBACK"
+                    print(json.dumps(d))
+                else:
+                    print(line)
+                sys.stderr.write(out.stderr[-2000:])
+                return
+            sys.stderr.write(
+                f"# bench {attempt} attempt failed (rc={out.returncode})\n"
+                + out.stderr[-2000:] + "\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"# bench {attempt} attempt timed out\n")
+    print(json.dumps({
+        "metric": "dp_cells_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "cells/s",
+        "vs_baseline": 0.0,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        if os.environ.get("PSQ_BENCH_CPU"):
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        main()
+    else:
+        _outer()

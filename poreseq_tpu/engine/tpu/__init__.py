@@ -17,7 +17,7 @@ from ..types import AlignData, make_mutscores
 from ..exact.align import likes_contribution
 from ..exact.sw import map_alignments as _map_alignments
 from .align import FILLS, backtrace_device
-from .pack import band_geometry, pack_events, round_up, to_device_batch
+from .pack import fill_inputs, pack_events, round_up, to_device_batch
 
 
 class TpuEngine:
@@ -36,7 +36,9 @@ class TpuEngine:
     def _prepare(self, data: AlignData):
         states = seq_to_states(data.sequence)
         S = len(states)
-        S_pad = round_up(max(S, 8), 64)
+        # keep at least one dead (all-zero) padding column past S: the
+        # mutation kernel indexes it for rab=0 (no-suffix) joins
+        S_pad = round_up(max(S, 8) + 8, 64)
         states_pad = np.full(S_pad, -1, dtype=np.int32)
         states_pad[:S] = states
         states_rev_pad = np.full(S_pad, -1, dtype=np.int32)
@@ -46,23 +48,16 @@ class TpuEngine:
         n0 = arrays["n0"]
         return states, S, S_pad, states_pad, states_rev_pad, batch, arrays, ref_indexes, n0
 
-    def _fill_dir(self, batch, states_pad, ref_indexes, n0, S, S_pad, width,
-                  lik_offset, backward):
-        i0, i1 = band_geometry(ref_indexes, n0, S, width, backward=backward)
-        # pad geometry columns out to S_pad (dead columns)
-        E = i0.shape[0]
-        i0p = np.zeros((E, S_pad + 1), dtype=np.int32)
-        i1p = np.zeros((E, S_pad + 1), dtype=np.int32)
-        i0p[:, : S + 1] = i0
-        i1p[:, : S + 1] = i1
-        i0p[:, S + 1 :] = 1
-        i1p[:, S + 1 :] = 0
-        # the backward matrix's backpointers are never read (backtrace is
-        # forward-only), so skip computing/storing them
+    def _fill_dir(self, batch, states_pad, fi, width, lik_offset, backward):
+        """One fill direction over the shared rate-limited geometry.  The
+        backward matrix's backpointers are never read (the backtrace is
+        forward-only), so they are skipped there."""
         fill = FILLS.get(width, self.dtype, need_steps=not backward)
-        res = fill(batch, jnp.asarray(states_pad), jnp.asarray(i0p),
-                   jnp.asarray(i1p), float(lik_offset), b=backward)
-        return res, i0p, i1p
+        dd = fi["bwd"] if backward else fi["fwd"]
+        res = fill(batch, jnp.asarray(states_pad), jnp.asarray(fi["i0"]),
+                   jnp.asarray(fi["i1"]), dd["win0"], dd["refills"],
+                   jnp.asarray(fi["is_pad"]), float(lik_offset), b=backward)
+        return res
 
     # ---------------- engine primitives ----------------
 
@@ -72,10 +67,9 @@ class TpuEngine:
         (states, S, S_pad, states_pad, _srp, batch, arrays, ref_indexes,
          n0) = self._prepare(data)
         p = data.params
-        res, i0p, i1p = self._fill_dir(
-            batch, states_pad, ref_indexes, n0, S, S_pad, p.realign_width,
-            p.lik_offset, backward=False,
-        )
+        fi = fill_inputs(arrays, ref_indexes, S, S_pad, p.realign_width)
+        res = self._fill_dir(batch, states_pad, fi, p.realign_width,
+                             p.lik_offset, backward=False)
         T = arrays["mean"].shape[1]
         max_steps = int(S_pad + 2 * T + 8)
         ral, rlk = backtrace_device(

@@ -92,8 +92,9 @@ class FillCache:
         if key not in self._fills:
             fill = make_fill(width, dtype, need_steps)
             self._fills[key] = jax.jit(
-                lambda batch, states, i0, i1, off, b=False, _f=fill: _f(
-                    batch, states, i0, i1, off, b
+                lambda batch, states, i0, i1, win0, refills, is_pad, off,
+                b=False, _f=fill: _f(
+                    batch, states, i0, i1, win0, refills, is_pad, off, b
                 ),
                 static_argnames=("b",),
             )

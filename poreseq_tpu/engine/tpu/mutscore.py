@@ -1,252 +1,394 @@
-"""Batched mutation delta-scoring on device.
+"""Batched mutation delta-scoring on device (gather-free, group-major).
 
 Implements the reference's splice-and-refill trick (Alignment.cpp:447-512):
 per (event, mutation), restart the forward DP from the column before the
 mutation against the mutated states at scoring width, then join the refilled
 column with the precomputed *backward* matrix (columnMax, Alignment.h:181-214)
-and difference against the pre-mutation join.  Batched as
-vmap(muts) x vmap(events) over the stored band matrices, chunked to bound
-memory.
+and difference against the pre-mutation join.
+
+TPU-first design (general gathers are ~25x slower than vector ops here):
+  * mutations are grouped by start position (Refine has exactly <=9 point
+    mutations per base, FindMutations.cpp:191-234): every group shares the
+    copied column, the refill band geometry, the per-column data windows and
+    the old-score join columns, so all fetches are scalar-indexed dynamic
+    slices;
+  * refill band anchors are the forward fill's rate-limited geometry shifted
+    by RS = realign_width - scoring_width, so per-event shifts are selects
+    over <= DMAX static rolls;
+  * the backward matrix is stored in forward coordinates with forward anchors
+    (see dp.py), so the old-score fwd x back join is exactly lag-0
+    (elementwise) and the new-score join needs a +-DMAX*net-indel shift set.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.events import update_refs
 from ...core.sequence import apply_mutation, seq_to_states
 from ..types import AlignData, make_mutscores
-from .align import FILLS, backtrace_device
-from .dp import emission, column_solve, neg_big
-from .pack import band_geometry, round_up
+from .align import backtrace_device
+from ...core.events import update_refs
+from .dp import (DMAX, emission, column_solve, neg_big, shift_select,
+                 shift_select2)
+from .pack import fill_inputs, limited_geometry, round_up
 
-CHUNK = 128
+
+def _band_mask(anchor, n0, width):
+    """valid absolute-row mask [..., width] for columns at `anchor`."""
+    r = jnp.arange(width, dtype=jnp.int32)
+    i = anchor[..., None] + r
+    return (i >= 1) & (i <= n0[..., None])
 
 
-def _join(Mcol, Scol, ci0, cbest, Mb_c, Sb_c, bi0, bbest, n0, dtype):
-    """columnMax(fwd column, back column) — max over event rows of the
-    paired fwd+back sums plus both prefix maxima, floored at 0
-    (Alignment.h:181-214).  Column widths are taken from the array shapes
-    (the refilled fwd column may be narrower than the stored back column)."""
-    Wf = Mcol.shape[0]
-    Wb = Mb_c.shape[0]
-    # part A: rows of the fwd column
-    r = jnp.arange(Wf, dtype=jnp.int32)
-    jf = ci0 + r
-    rb = (n0 - jf + 1) - bi0
-    okb = (rb >= 0) & (rb < Wb)
-    rbc = jnp.clip(rb, 0, Wb - 1)
-    bvM = jnp.where(okb, Mb_c[rbc], 0.0)
-    bvS = jnp.where(okb, Sb_c[rbc], 0.0)
-    okf = (jf >= 1) & (jf <= n0)
-    sA = jnp.max(jnp.where(okf, jnp.maximum(Mcol + bvM, Scol + bvS), 0.0))
-    # part B: rows of the back column (fwd side gathered; covers back-only rows)
-    rB = jnp.arange(Wb, dtype=jnp.int32)
-    jb2 = bi0 + rB
-    rf = (n0 - jb2 + 1) - ci0
-    okf2 = (rf >= 0) & (rf < Wf)
-    rfc = jnp.clip(rf, 0, Wf - 1)
-    fvM = jnp.where(okf2, Mcol[rfc], 0.0)
-    fvS = jnp.where(okf2, Scol[rfc], 0.0)
-    okb2 = (jb2 >= 1) & (jb2 <= n0)
-    sB = jnp.max(jnp.where(okb2, jnp.maximum(Mb_c + fvM, Sb_c + fvS), 0.0))
-    sm = jnp.maximum(jnp.maximum(sA, sB), 0.0)
-    sm = jnp.maximum(sm, cbest)
+def _join_lag0(FM, FS, fbest, BM, BS, bbest, okF):
+    """columnMax of two columns sharing an anchor (lag 0)."""
+    cross = jnp.maximum(FM + BM, FS + BS)
+    sm = jnp.max(jnp.where(okF, cross, 0.0), axis=-1)
+    sm = jnp.maximum(sm, 0.0)
+    sm = jnp.maximum(sm, fbest)
     sm = jnp.maximum(sm, bbest)
     return sm
 
 
-def _mut_kernel_factory(W: int, Ws: int, K: int, dtype):
-    """Chunked mutation-delta kernel.
-
-    W  = stored-band rectangle width (2*realign_width+1);
-    Ws = refill rectangle width (2*scoring_width+1) — the refilled columns
-    live on the narrower scoring band (Alignment.cpp:471), so the refill
-    compute is O(Ws) instead of O(W); only the first step (which reads the
-    wide copied column) and the joins touch the wide rectangles."""
-
-    @jax.jit
-    def kernel(batch, Mf, Sf, i0f, i1f, bpf, Mb, Sb, i0b, bpb,
-               starts, startinds, mlens, nst, win, i0r, i1r,
-               valid_mut, lik_offset, S_real):
-        C1, E, _ = Mf.shape  # [C+1, E, W]
-        rows = jnp.arange(Ws, dtype=jnp.int32)
-        NB = neg_big(dtype)
-
-        def one(m_idx):
-            start = starts[m_idx]
-            startind = startinds[m_idx]
-            mlen = mlens[m_idx]
-            nstm = nst[m_idx]
-            winm = win[m_idx]          # [K]
-            i0rm = i0r[m_idx]          # [K, E]
-            i1rm = i1r[m_idx]
-
-            def lane(e):
-                mean_e = batch.mean[e]
-                stdv_e = batch.stdv[e]
-                lsr_e = batch.lsr[e]
-                n0_e = batch.n0[e]
-                lik_sk = batch.lik_skip[e]
-                lik_st = batch.lik_stay[e]
-                lik_ex = batch.lik_extend[e]
-                lik_in = batch.lik_insert[e]
-
-                # the shared copied column (wide rectangle)
-                Mw = Mf[startind, e]
-                Sw = Sf[startind, e]
-                wi0 = i0f[e, startind]
-                wi1 = i1f[e, startind]
-                wbest = bpf[startind, e]
-
-                # how many refill columns actually exist
-                nfill = jnp.clip(jnp.minimum(startind + mlen + 6, nstm) - startind, 0, K)
-                Lf = startind + nfill
-                refind_used = jnp.minimum(start + mlen + 1,
-                                          jnp.maximum(Lf, startind))
-                k_star = refind_used - startind - 1  # may be -1 (use the copy)
-
-                def step(carry, k):
-                    Mc, Sc, ci0, ci1, cbest, selM, selS, si0, sbest = carry
-                    first = k == 0
-                    refind = startind + 1 + k
-                    act = (k < mlen + 6) & (refind <= nstm) & (k < nfill)
-                    st = winm[k]
-                    i0c = i0rm[k, e]
-                    i1c = i1rm[k, e]
-                    i = i0c + rows
-                    in_band = i <= i1c
-                    idx = jnp.clip(i - 1, 0, mean_e.shape[0] - 1)
-                    mean_v = mean_e[idx]
-                    stdv_v = stdv_e[idx]
-                    lsr_v = lsr_e[idx]
-                    stc = jnp.clip(st, 0, 1023)
-                    e_obs = emission(
-                        mean_v, stdv_v, lsr_v,
-                        batch.lev_mean[e, stc], batch.lev_stdv[e, stc],
-                        batch.log_lev[e, stc], batch.sd_mean[e, stc],
-                        batch.sd_lambda[e, stc], batch.log_lambda[e, stc],
-                        lik_offset,
-                    ).astype(dtype)
-                    e_obs = jnp.where(in_band, e_obs, 0.0)
-
-                    # previous column: the wide copied column for step 0,
-                    # the narrow carry afterwards
-                    p0 = jnp.where(first, wi0, ci0)
-                    p1 = jnp.where(first, wi1, ci1)
-                    dW = jnp.clip(i - wi0, 0, W - 1)
-                    dN = jnp.clip(i - ci0, 0, Ws - 1)
-                    pm_i = jnp.where(first, Mw[dW], Mc[dN])
-                    dWm1 = jnp.clip(i - 1 - wi0, 0, W - 1)
-                    dNm1 = jnp.clip(i - 1 - ci0, 0, Ws - 1)
-                    pm_im1 = jnp.where(first, Mw[dWm1], Mc[dNm1])
-
-                    valid_i = (i >= p0) & (i <= p1)
-                    valid_ul = (i > p0) & (i <= p1)
-                    skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_sk
-                    match_c = jnp.where(valid_ul, pm_im1, 0.0) + e_obs
-                    ignore_c = jnp.where(valid_ul, pm_im1 + lik_in, 0.0)
-                    D = jnp.maximum(jnp.maximum(0.0, skip_c),
-                                    jnp.maximum(match_c, ignore_c)).astype(dtype)
-                    a_stay = (e_obs + lik_st).astype(dtype)
-                    a_ext = (e_obs + lik_ex).astype(dtype)
-                    floor0 = jnp.where(rows == 0, NB, 0.0).astype(dtype)
-                    Mn, Sn = column_solve(D, a_stay, a_ext, lik_in, floor0, dtype)
-                    live = in_band & (st >= 0)
-                    Mn = jnp.where(live, Mn, 0.0)
-                    Sn = jnp.where(live, Sn, 0.0)
-                    cmax = jnp.max(jnp.where(live, Mn, NB))
-                    bestn = jnp.where(cmax > cbest, cmax, cbest)
-
-                    Mc2 = jnp.where(act, Mn, Mc)
-                    Sc2 = jnp.where(act, Sn, Sc)
-                    ci02 = jnp.where(act, i0c, ci0)
-                    ci12 = jnp.where(act, i1c, ci1)
-                    cbest2 = jnp.where(act, bestn, cbest)
-                    hit = act & (k == k_star)
-                    selM2 = jnp.where(hit, Mn, selM)
-                    selS2 = jnp.where(hit, Sn, selS)
-                    si02 = jnp.where(hit, i0c, si0)
-                    sbest2 = jnp.where(hit, bestn, sbest)
-                    return (Mc2, Sc2, ci02, ci12, cbest2, selM2, selS2, si02,
-                            sbest2), None
-
-                zs = jnp.zeros(Ws, dtype)
-                init = (zs, zs, wi0, wi1, wbest, zs, zs, wi0, wbest)
-                (Mc, Sc, ci0, ci1, cbest, selM, selS, si0, sbest), _ = (
-                    jax.lax.scan(step, init, jnp.arange(K, dtype=jnp.int32)))
-
-                # new score: selected refill column (or the copied column when
-                # no refill happened) joined with the back column at
-                # rab = nst - refind_used + 1 (original back matrix)
-                rab_new = jnp.clip(nstm - refind_used + 1, 0, S_real)
-                Mbc = Mb[rab_new, e]
-                Sbc = Sb[rab_new, e]
-                bi0c = i0b[e, rab_new]
-                bbc = bpb[rab_new, e]
-                new_n = _join(selM, selS, si0, sbest, Mbc, Sbc, bi0c, bbc,
-                              n0_e, dtype)
-                new_w = _join(Mw, Sw, wi0, wbest, Mbc, Sbc, bi0c, bbc,
-                              n0_e, dtype)
-                new = jnp.where(k_star >= 0, new_n, new_w)
-                # old score: fwd col max(start-3, 1) joined with its mirror
-                raf_old = jnp.clip(jnp.maximum(start - 3, 1), 0, S_real)
-                rab_old = jnp.clip(S_real - jnp.maximum(start - 3, 1) + 1, 0,
-                                   S_real)
-                old = _join(Mf[raf_old, e], Sf[raf_old, e], i0f[e, raf_old],
-                            bpf[raf_old, e],
-                            Mb[rab_old, e], Sb[rab_old, e], i0b[e, rab_old],
-                            bpb[rab_old, e], n0_e, dtype)
-                delta = new - old
-                return jnp.where(batch.active[e] & valid_mut[m_idx], delta, 0.0)
-
-            deltas = jax.vmap(lane)(jnp.arange(E))
-            return jnp.sum(deltas)
-
-        return jax.vmap(one)(jnp.arange(starts.shape[0]))
-
-    return kernel
+def _join_shift(FM, FS, fa, fbest, BM, BS, ba, bbest, n0, smin, smax, dtype):
+    """columnMax of fwd column (anchor fa) vs back column (anchor ba) with
+    lag s = fa - ba expected within [smin, smax] (else the cross term degrades
+    to single-sided maxima).  F is zero-padded up to B's width if narrower."""
+    W = BM.shape[-1]
+    if FM.shape[-1] < W:
+        padn = W - FM.shape[-1]
+        pad = jnp.zeros(FM.shape[:-1] + (padn,), FM.dtype)
+        FM = jnp.concatenate([FM, pad], axis=-1)
+        FS = jnp.concatenate([FS, pad], axis=-1)
+    s = fa - ba
+    okF = _band_mask(fa, n0, W)
+    okB = _band_mask(ba, n0, W)
+    BMs = shift_select2(BM, s, smin, smax, W)
+    BSs = shift_select2(BS, s, smin, smax, W)
+    crossA = jnp.maximum(FM + BMs, FS + BSs)
+    sA = jnp.max(jnp.where(okF, jnp.maximum(crossA, jnp.maximum(FM, FS)), 0.0),
+                 axis=-1)
+    sB = jnp.max(jnp.where(okB, jnp.maximum(BM, BS), 0.0), axis=-1)
+    sm = jnp.maximum(jnp.maximum(sA, sB), 0.0)
+    sm = jnp.maximum(sm, fbest)
+    sm = jnp.maximum(sm, bbest)
+    return sm
 
 
 _KERNELS = {}
 
 
-def get_mut_kernel(W, Ws, K, dtype):
-    key = (W, Ws, K, str(dtype))
-    if key not in _KERNELS:
-        _KERNELS[key] = _mut_kernel_factory(W, Ws, K, dtype)
-    return _KERNELS[key]
+def _group_kernel(W, Ws, RS, K, P, DM, dtype):
+    """Kernel scanning over start-groups.  Static: rectangle widths W/Ws,
+    anchor offset RS = realign-scoring >= 0, refill steps K, slots P, net
+    indel bound DM (join shift sets are RS +- DMAX*DM wide)."""
+    key = (W, Ws, RS, K, P, DM, str(dtype))
+    if key in _KERNELS:
+        return _KERNELS[key]
+
+    SH_STEP = tuple(range(0, DMAX + 1))
+    SH_STEP_M1 = tuple(range(-1, DMAX))
+    span = DMAX * DM + 64      # + slack for differing rate-limit lags/clamps
+    JMIN, JMAX = -span, RS + span            # refill-vs-back join lag range
+    CMIN, CMAX = -span, span                 # copied-col-vs-back join range
+    FSMIN, FSMAX = -64, RS + 64 + DMAX       # wide-copy seam offset range
+
+    @jax.jit
+    def kernel(batch, Mf, Sf, Mb, Sb, i0f, i1f, i0r, i1r, bpf, bpb,
+               win_mean, win_stdv, win_lsr,
+               g_start, g_startind, s_mlen, s_nst, s_win, s_valid,
+               lik_offset, S_real):
+        """Mf/Sf/Mb/Sb [C+1, E, W] blank-extended, indexed by forward column;
+        i0f/i1f [E, C+1] realign geometry; i0r/i1r [E, C+1] scoring-band
+        geometry (post-backtrace); bpf/bpb [C+1, E]; win_* [Q1, E, Ws]
+        anchored at i0r(q); g_* [G]; s_* [G, P(, K)].  Returns [G, P]."""
+        C1, E, _ = Mf.shape
+        Q1 = win_mean.shape[0]
+        NB = neg_big(dtype)
+        rows = jnp.arange(Ws, dtype=jnp.int32)
+        n0 = batch.n0
+
+        lik_sk = batch.lik_skip[None, :, None]
+        lik_st = batch.lik_stay[None, :, None]
+        lik_ex = batch.lik_extend[None, :, None]
+        lik_in = batch.lik_insert[None, :, None]
+
+        # model tables stacked once for the per-group state gather
+        mt = jnp.stack([batch.lev_mean, batch.lev_stdv, batch.log_lev,
+                        batch.sd_mean, batch.sd_lambda, batch.log_lambda])
+
+        def group(_, xs):
+            start, startind, mlen, nst, winst, valid = xs
+            st0 = jnp.clip(startind, 0, C1 - 1)
+
+            Mw = jax.lax.dynamic_index_in_dim(Mf, st0, 0, False)   # [E, W]
+            Sw = jax.lax.dynamic_index_in_dim(Sf, st0, 0, False)
+            wi0 = jax.lax.dynamic_index_in_dim(i0f, st0, 1, False)  # [E]
+            wi1 = jax.lax.dynamic_index_in_dim(i1f, st0, 1, False)
+            wbest = jax.lax.dynamic_index_in_dim(bpf, st0, 0, False)
+
+
+            nfill = jnp.clip(jnp.minimum(startind + mlen + 6, nst) - startind,
+                             0, K)                                   # [P]
+            Lf = startind + nfill
+            refind_used = jnp.minimum(start + mlen + 1,
+                                      jnp.maximum(Lf, startind))     # [P]
+            k_star = refind_used - startind - 1  # -1 -> join the copied col
+
+            # hoisted per-slot-state model values: [6, P, K, E]
+            stc = jnp.clip(winst, 0, 1023)
+            mv = jnp.moveaxis(mt[:, :, stc], 1, 3)
+
+            def step(scarry, k):
+                Mc, Sc, ci0, selM, selS, sa, sbest, cbest = scarry
+                first = k == 0
+                q = jnp.clip(st0 + 1 + k, 0, C1 - 1)
+                qw = jnp.clip(st0 + 1 + k, 0, Q1 - 1)
+                refind = startind + 1 + k
+
+                i0c = jax.lax.dynamic_index_in_dim(i0r, q, 1, False)  # [E]
+                i1c = jax.lax.dynamic_index_in_dim(i1r, q, 1, False)
+                mwv = jax.lax.dynamic_index_in_dim(win_mean, qw, 0, False)
+                swv = jax.lax.dynamic_index_in_dim(win_stdv, qw, 0, False)
+                lwv = jax.lax.dynamic_index_in_dim(win_lsr, qw, 0, False)
+
+                i = i0c[:, None] + rows[None, :]                   # [E, Ws]
+                in_band = i <= i1c[:, None]
+
+                lm, ls, ll, smn, lam, llam = (
+                    mv[t, :, k, :][:, :, None] for t in range(6))  # [P, E, 1]
+                e_obs = emission(mwv[None], swv[None], lwv[None], lm, ls, ll,
+                                 smn, lam, llam, lik_offset).astype(dtype)
+                st_k = winst[:, k]                                 # [P]
+                live = in_band[None] & (st_k >= 0)[:, None, None]
+                e_obs = jnp.where(live, e_obs, 0.0)
+
+                # prev-column values: wide copy (first step; two-stage
+                # variable slice over the seam offset) or narrow carry (rolls)
+                o = i0c - wi0                                      # [E]
+                pmWx = shift_select2(Mw, o - 1, FSMIN - 1, FSMAX, Ws + 1)
+                pmWm1 = pmWx[:, :Ws]
+                pmW = pmWx[:, 1:]
+                d = jnp.broadcast_to((i0c - ci0)[None, :], (P, E))
+                pmN = shift_select(Mc, d, SH_STEP)
+                pmNm1 = shift_select(Mc, d - 1, SH_STEP_M1)
+
+                pm_i = jnp.where(first, pmW[None], pmN)            # [P, E, Ws]
+                pm_im1 = jnp.where(first, pmWm1[None], pmNm1)
+                p0 = jnp.where(first, wi0, ci0)[None, :, None]
+                p1 = jnp.where(first, wi1, ci0 + (Ws - 1))[None, :, None]
+
+                ii = i[None]
+                valid_i = (ii >= p0) & (ii <= p1)
+                valid_ul = (ii > p0) & (ii <= p1)
+                skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_sk
+                match_c = jnp.where(valid_ul, pm_im1, 0.0) + e_obs
+                ignore_c = jnp.where(valid_ul, pm_im1 + lik_in, 0.0)
+                D = jnp.maximum(jnp.maximum(0.0, skip_c),
+                                jnp.maximum(match_c, ignore_c)).astype(dtype)
+                a_stay = (e_obs + lik_st).astype(dtype)
+                a_ext = (e_obs + lik_ex).astype(dtype)
+                cut = (rows == 0)[None, None, :]
+                floor0 = jnp.where(cut, NB, jnp.zeros_like(D)).astype(dtype)
+                Mn, Sn = column_solve(D, a_stay, a_ext, lik_in, floor0, cut,
+                                      dtype)
+                Mn = jnp.where(live, Mn, 0.0)
+                Sn = jnp.where(live, Sn, 0.0)
+                cmax = jnp.max(jnp.where(live, Mn, NB), axis=-1)   # [P, E]
+                bestn = jnp.maximum(cmax, cbest)
+
+                act = ((k < mlen + 6) & (refind <= nst)
+                       & (k < nfill))[:, None, None]               # [P,1,1]
+                Mc2 = jnp.where(act, Mn, Mc)
+                Sc2 = jnp.where(act, Sn, Sc)
+                ci02 = jnp.where(jnp.any(act), i0c, ci0)
+                cbest2 = jnp.where(act[..., 0], bestn, cbest)
+                hit = act & (k == k_star)[:, None, None]
+                selM2 = jnp.where(hit, Mn, selM)
+                selS2 = jnp.where(hit, Sn, selS)
+                sa2 = jnp.where(hit[..., 0], i0c[None], sa)
+                sbest2 = jnp.where(hit[..., 0], bestn, sbest)
+                return (Mc2, Sc2, ci02, selM2, selS2, sa2, sbest2,
+                        cbest2), None
+
+            zsP = jnp.zeros((P, E, Ws), dtype)
+            init = (zsP, zsP, wi0 + RS, zsP, zsP,
+                    jnp.broadcast_to(wi0 + RS, (P, E)),
+                    jnp.broadcast_to(wbest, (P, E)),
+                    jnp.broadcast_to(wbest, (P, E)))
+            (Mc, Sc, ci0, selM, selS, sa, sbest, cbest), _ = jax.lax.scan(
+                step, init, jnp.arange(K, dtype=jnp.int32))
+
+            # ---- new-score join: selected refill column (or the copied
+            # column) vs the back column at rab = nst - refind_used + 1 ----
+            rab_new = jnp.clip(nst - refind_used + 1, 0, S_real)   # [P]
+            q_b = jnp.clip(S_real - rab_new + 1, 0, C1 - 1)
+            BM = jnp.stack([jax.lax.dynamic_index_in_dim(Mb, q_b[t], 0, False)
+                            for t in range(P)])                    # [P, E, W]
+            BS = jnp.stack([jax.lax.dynamic_index_in_dim(Sb, q_b[t], 0, False)
+                            for t in range(P)])
+            ba = jnp.stack([jax.lax.dynamic_index_in_dim(i0f, q_b[t], 1, False)
+                            for t in range(P)])                    # [P, E]
+            bbest = jnp.stack(
+                [jax.lax.dynamic_index_in_dim(bpb, q_b[t], 0, False)
+                 for t in range(P)])                               # [P, E]
+
+            new_n = _join_shift(selM, selS, sa, sbest, BM, BS, ba, bbest,
+                                n0[None], JMIN, JMAX, dtype)       # [P, E]
+            new_w = _join_shift(jnp.broadcast_to(Mw, (P, E, Mw.shape[-1])),
+                                jnp.broadcast_to(Sw, (P, E, Sw.shape[-1])),
+                                jnp.broadcast_to(wi0, (P, E)),
+                                jnp.broadcast_to(wbest, (P, E)),
+                                BM, BS, ba, bbest, n0[None], CMIN, CMAX,
+                                dtype)
+            new = jnp.where((k_star >= 0)[:, None], new_n, new_w)
+
+            # ---- old score: fwd and back columns at the SAME forward column
+            # max(start-3, 1) -> exact lag-0 elementwise join ----
+            q_old = jnp.clip(jnp.maximum(start - 3, 1), 0, S_real)
+            FMo = jax.lax.dynamic_index_in_dim(Mf, q_old, 0, False)
+            FSo = jax.lax.dynamic_index_in_dim(Sf, q_old, 0, False)
+            BMo = jax.lax.dynamic_index_in_dim(Mb, q_old, 0, False)
+            BSo = jax.lax.dynamic_index_in_dim(Sb, q_old, 0, False)
+            fao = jax.lax.dynamic_index_in_dim(i0f, q_old, 1, False)
+            fbo = jax.lax.dynamic_index_in_dim(bpf, q_old, 0, False)
+            bbo = jax.lax.dynamic_index_in_dim(bpb, q_old, 0, False)
+            okF = _band_mask(fao, n0, FMo.shape[-1])
+            old = _join_lag0(FMo, FSo, fbo, BMo, BSo, bbo, okF)    # [E]
+
+            delta = new - old[None]                                # [P, E]
+            ok = valid[:, None] & batch.active[None, :]
+            delta = jnp.where(ok, delta, 0.0)
+            return None, jnp.sum(delta, axis=1)
+
+        _, totals = jax.lax.scan(
+            group, None,
+            (g_start, g_startind, s_mlen, s_nst, s_win, s_valid))
+        return totals
+
+    _KERNELS[key] = kernel
+    return kernel
 
 
 def _k_bucket(k: int) -> int:
-    for b in (7, 10, 16, 26, 46, 86, 160, 300):
+    for b in (7, 10, 16, 26, 46, 86, 160):
         if k <= b:
             return b
-    return round_up(k, 256)
+    return round_up(k, 64)
+
+
+def _d_bucket(d: int) -> int:
+    for b in (1, 2, 4, 8, 16):
+        if d <= b:
+            return b
+    return 32
+
+
+
+
+def prepare_group_inputs(sequence, muts, S, S_pad, scoring_width, arrays,
+                         ref_indexes, dtype):
+    """Host-side preparation shared by the engine and the sharded step:
+    scoring-band geometry + data windows + start-grouped mutation arrays."""
+    n0 = arrays["n0"]
+    E = len(n0)
+    T = arrays["mean"].shape[1]
+    Ws = 2 * scoring_width + 1
+    i0r_h, i1r_h = limited_geometry(ref_indexes, n0, S, S_pad, scoring_width)
+    i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
+
+    anchors = i0r_h.astype(np.int64)         # [E, S_pad+1]
+    idx = anchors[:, :, None] - 1 + np.arange(Ws)[None, None, :]
+    okw = (idx >= 0) & (idx < T)
+    idxc = np.clip(idx, 0, T - 1)
+
+    def build_win(src, pv):
+        vals = np.stack([src[e][idxc[e]] for e in range(E)], axis=0)
+        vals = np.where(okw, vals, pv)
+        return jnp.asarray(np.ascontiguousarray(vals.transpose(1, 0, 2)),
+                           dtype)
+
+    wins = (build_win(arrays["mean"], 0.0), build_win(arrays["stdv"], 1.0),
+            build_win(arrays["lsr"], 0.0))
+
+    n_m = len(muts)
+    starts = np.array([m.start for m in muts], dtype=np.int64)
+    mlens = np.array([len(m.mut) for m in muts], dtype=np.int64)
+    olens = np.array([len(m.orig) for m in muts], dtype=np.int64)
+    order = np.argsort(starts, kind="stable")
+
+    has_bad = any(c not in "ACGT" for c in set(sequence))
+    K_all = _k_bucket(int(mlens.max()) + 6 if n_m else 7)
+    D_all = _d_bucket(int(np.abs(mlens - olens).max()) if n_m else 1)
+
+    groups = []
+    cur = []
+    for mi in order:
+        if cur and (starts[mi] != starts[cur[0]] or len(cur) >= 9):
+            groups.append(cur)
+            cur = []
+        cur.append(int(mi))
+    if cur:
+        groups.append(cur)
+    P = max(len(g) for g in groups)
+    G = len(groups)
+    G_pad = round_up(G, 32)
+
+    g_start = np.zeros(G_pad, dtype=np.int32)
+    g_startind = np.zeros(G_pad, dtype=np.int32)
+    s_mlen = np.zeros((G_pad, P), dtype=np.int32)
+    s_nst = np.zeros((G_pad, P), dtype=np.int32)
+    s_win = np.full((G_pad, P, K_all), -1, dtype=np.int32)
+    s_valid = np.zeros((G_pad, P), dtype=bool)
+    s_idx = np.full((G_pad, P), -1, dtype=np.int64)
+
+    for g, idxs in enumerate(groups):
+        st = int(starts[idxs[0]])
+        g_start[g] = st
+        g_startind[g] = max(st - 4, 0)
+        for t, mi in enumerate(idxs):
+            m = muts[mi]
+            mutseq = apply_mutation(sequence, m.start, m.orig, m.mut)
+            s_nst[g, t] = max(len(mutseq) - 4, 0)
+            s_mlen[g, t] = len(m.mut)
+            si = int(g_startind[g])
+            wl = len(m.mut) + 6
+            if has_bad or any(c not in "ACGT" for c in m.mut):
+                w = seq_to_states(mutseq)[si : si + wl]
+            else:
+                w = seq_to_states(mutseq[si : si + wl + 4])
+            s_win[g, t, : len(w)] = w
+            s_valid[g, t] = m.start <= len(sequence)
+            s_idx[g, t] = mi
+
+    return dict(wins=wins, K=K_all, D=D_all, P=P, G=G, G_pad=G_pad,
+                i0r=i0r_h, i1r=i1r_h, g_start=g_start, g_startind=g_startind,
+                s_mlen=s_mlen, s_nst=s_nst, s_win=s_win, s_valid=s_valid,
+                s_idx=s_idx)
 
 
 def score_mutations_tpu(engine, data: AlignData, muts):
-    """Full ScoreMutations on the TPU engine: fwd+back fill + backtrace
-    (updating events), then chunked batched delta scoring."""
+    """Full ScoreMutations on the TPU engine: fwd+back fills + backtrace
+    (updating events), then grouped batched delta scoring."""
     mutscores = make_mutscores(muts)
     if not muts or not data.events:
         return mutscores
 
-    (states, S, S_pad, states_pad, states_rev_pad, batch, arrays, ref_indexes,
+    (states, S, S_pad, states_pad, _srp, batch, arrays, ref_indexes,
      n0) = engine._prepare(data)
     p = data.params
     W = 2 * p.realign_width + 1
+    Ws = 2 * min(p.scoring_width, p.realign_width) + 1
+    RS = max(p.realign_width - p.scoring_width, 0)
+    dtype = engine.dtype
 
-    resf, i0f, i1f = engine._fill_dir(
-        batch, states_pad, ref_indexes, n0, S, S_pad, p.realign_width,
-        p.lik_offset, backward=False)
-    resb, i0b, i1b = engine._fill_dir(
-        batch, states_rev_pad, ref_indexes, n0, S, S_pad, p.realign_width,
-        p.lik_offset, backward=True)
+    fi = fill_inputs(arrays, ref_indexes, S, S_pad, p.realign_width)
+    resf = engine._fill_dir(batch, states_pad, fi, p.realign_width,
+                            p.lik_offset, backward=False)
+    resb = engine._fill_dir(batch, states_pad, fi, p.realign_width,
+                            p.lik_offset, backward=True)
 
     T = arrays["mean"].shape[1]
     ral, rlk = backtrace_device(
@@ -254,16 +396,13 @@ def score_mutations_tpu(engine, data: AlignData, muts):
         resf.best_i, resf.best_j, t_pad=T, max_steps=int(S_pad + 2 * T + 8))
     ral = np.asarray(ral, dtype=np.float64)
     rlk = np.asarray(rlk, dtype=np.float64)
-    new_ref_indexes = []
     for e, ev in enumerate(data.events):
         n = int(n0[e])
         if arrays["active"][e]:
             ev.ref_align = ral[e, :n].copy()
             ev.ref_like = rlk[e, :n].copy()
-        ri, _, _ = update_refs(ev.ref_align)
-        new_ref_indexes.append(ri)
 
-    # extended (blank-prepended) stacks for direct column indexing
+    # blank-extended stacks, indexed directly by forward column q
     zero_col = jnp.zeros((1,) + resf.M.shape[1:], resf.M.dtype)
     Mf = jnp.concatenate([zero_col, resf.M])
     Sf = jnp.concatenate([zero_col, resf.S])
@@ -272,70 +411,39 @@ def score_mutations_tpu(engine, data: AlignData, muts):
     zrow = jnp.zeros((1, resf.M.shape[1]), resf.M.dtype)
     bpf = jnp.concatenate([zrow, resf.best_pfx])
     bpb = jnp.concatenate([zrow, resb.best_pfx])
+    i0f = jnp.asarray(fi["i0"])
+    i1f = jnp.asarray(fi["i1"])
 
-    # ---- host-side mutation prep ----
-    E = len(data.events)
+    # post-backtrace scoring-band geometry (the reference recomputes band
+    # centers from the refreshed ref_index, Alignment.cpp:131-132)
+    post_ris = [update_refs(ev.ref_align)[0] for ev in data.events]
+    gi = prepare_group_inputs(data.sequence, muts, S, S_pad, p.scoring_width,
+                              arrays, post_ris, dtype)
+    win_mean, win_stdv, win_lsr = gi["wins"]
+    K_all, D_all, P = gi["K"], gi["D"], gi["P"]
+    G, G_pad = gi["G"], gi["G_pad"]
+    i0r_h, i1r_h = gi["i0r"], gi["i1r"]
+    g_start, g_startind = gi["g_start"], gi["g_startind"]
+    s_mlen, s_nst, s_win, s_valid, s_idx = (
+        gi["s_mlen"], gi["s_nst"], gi["s_win"], gi["s_valid"], gi["s_idx"])
     n_m = len(muts)
-    has_bad = any(c not in "ACGT" for c in set(data.sequence))
-    starts = np.array([m.start for m in muts], dtype=np.int32)
-    mlens = np.array([len(m.mut) for m in muts], dtype=np.int32)
-    startinds = np.maximum(starts - 4, 0)
-    valid = starts <= len(data.sequence)
-    order = np.argsort(mlens, kind="stable")
+
+    kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype)
+    totals_gp = np.asarray(kern(
+        batch, Mf, Sf, Mb, Sb, i0f, i1f,
+        jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,
+        win_mean, win_stdv, win_lsr,
+        jnp.asarray(g_start), jnp.asarray(g_startind),
+        jnp.asarray(s_mlen), jnp.asarray(s_nst), jnp.asarray(s_win),
+        jnp.asarray(s_valid), float(p.lik_offset), S,
+    ), dtype=np.float64)
 
     totals = np.full(n_m, -1e-6, dtype=np.float64)
-    pos = 0
-    while pos < len(order):
-        # take a chunk of same-bucket K
-        k0 = _k_bucket(int(mlens[order[pos]]) + 6)
-        sel = [order[pos]]
-        pos += 1
-        while pos < len(order) and len(sel) < CHUNK and \
-                _k_bucket(int(mlens[order[pos]]) + 6) == k0:
-            sel.append(order[pos])
-            pos += 1
-        sel = np.asarray(sel)
-        K = k0
-        Mc = len(sel)
-        win = np.full((Mc, K), -1, dtype=np.int32)
-        nst = np.zeros(Mc, dtype=np.int32)
-        for t, mi in enumerate(sel):
-            m = muts[mi]
-            mutseq = apply_mutation(data.sequence, m.start, m.orig, m.mut)
-            nst[t] = max(len(mutseq) - 4, 0)
-            si = int(startinds[mi])
-            wl = len(m.mut) + 6
-            if has_bad or any(c not in "ACGT" for c in m.mut):
-                w = seq_to_states(mutseq)[si : si + wl]
-            else:
-                w = seq_to_states(mutseq[si : si + wl + 4])
-            win[t, : len(w)] = w
-        # refill band geometry against the POST-backtrace ref_index
-        i0r = np.ones((Mc, K, E), dtype=np.int32)
-        i1r = np.zeros((Mc, K, E), dtype=np.int32)
-        refinds = startinds[sel][:, None] + 1 + np.arange(K)[None, :]
-        for e in range(E):
-            ne = int(n0[e])
-            ri = new_ref_indexes[e]
-            if len(ri) > 0:
-                imid = np.searchsorted(ri, refinds.ravel(), side="left").reshape(
-                    Mc, K).astype(np.int64)
-            else:
-                imid = np.ones((Mc, K), dtype=np.int64)
-            imid = np.clip(imid, 1, max(ne, 1))
-            i0r[:, :, e] = np.maximum(imid - p.scoring_width, 1)
-            i1r[:, :, e] = np.minimum(imid + p.scoring_width, ne)
-
-        kern = get_mut_kernel(W, 2 * p.scoring_width + 1, K, engine.dtype)
-        out = kern(
-            batch, Mf, Sf, jnp.asarray(i0f), jnp.asarray(i1f), bpf,
-            Mb, Sb, jnp.asarray(i0b), bpb,
-            jnp.asarray(starts[sel]), jnp.asarray(startinds[sel]),
-            jnp.asarray(mlens[sel]), jnp.asarray(nst), jnp.asarray(win),
-            jnp.asarray(i0r), jnp.asarray(i1r),
-            jnp.asarray(valid[sel]), float(p.lik_offset), S,
-        )
-        totals[sel] += np.asarray(out, dtype=np.float64)
+    for g in range(G):
+        for t in range(P):
+            mi = s_idx[g, t]
+            if mi >= 0:
+                totals[mi] += totals_gp[g, t]
 
     for ms, t in zip(mutscores, totals):
         ms.score = float(t)

@@ -34,8 +34,7 @@ def pack_events(events: list[Event], t_pad: int | None = None):
 
     mean = np.zeros((E, T))
     stdv = np.ones((E, T))
-    mean_rev = np.zeros((E, T))
-    stdv_rev = np.ones((E, T))
+    lsd = np.zeros((E, T))
     lsr = np.zeros((E, T))
     active = np.zeros(E, dtype=bool)
     lev_mean = np.zeros((E, 1024))
@@ -51,8 +50,7 @@ def pack_events(events: list[Event], t_pad: int | None = None):
         n = n0[e]
         mean[e, :n] = ev.mean
         stdv[e, :n] = ev.stdv
-        mean_rev[e, :n] = ev.mean[::-1]
-        stdv_rev[e, :n] = ev.stdv[::-1]
+        lsd[e, :n] = np.log(ev.stdv)
         lsr[e, :n] = np.log(ev.stdv)[::-1]
         ri, rs, re = update_refs(ev.ref_align)
         ref_indexes.append(ri)
@@ -68,7 +66,7 @@ def pack_events(events: list[Event], t_pad: int | None = None):
         lik4[e] = [d["lik_skip"], d["lik_stay"], d["lik_extend"], d["lik_insert"]]
 
     arrays = dict(
-        mean=mean, stdv=stdv, mean_rev=mean_rev, stdv_rev=stdv_rev, lsr=lsr,
+        mean=mean, stdv=stdv, lsd=lsd, lsr=lsr,
         n0=n0, active=active,
         lev_mean=lev_mean, lev_stdv=lev_stdv, log_lev=log_lev,
         sd_mean=sd_mean, sd_lambda=sd_lambda, log_lambda=log_lambda,
@@ -84,8 +82,7 @@ def to_device_batch(arrays: dict, dtype) -> EventBatch:
     f = lambda x: jnp.asarray(x, dtype)
     return EventBatch(
         mean=f(arrays["mean"]), stdv=f(arrays["stdv"]),
-        mean_rev=f(arrays["mean_rev"]), stdv_rev=f(arrays["stdv_rev"]),
-        lsr=f(arrays["lsr"]),
+        lsd=f(arrays["lsd"]), lsr=f(arrays["lsr"]),
         n0=jnp.asarray(arrays["n0"]),
         active=jnp.asarray(arrays["active"]),
         lev_mean=f(arrays["lev_mean"]), lev_stdv=f(arrays["lev_stdv"]),
@@ -94,6 +91,100 @@ def to_device_batch(arrays: dict, dtype) -> EventBatch:
         lik_skip=f(arrays["lik_skip"]), lik_stay=f(arrays["lik_stay"]),
         lik_extend=f(arrays["lik_extend"]), lik_insert=f(arrays["lik_insert"]),
     )
+
+
+def fill_inputs(arrays: dict, ref_indexes, S: int, S_pad: int, width: int):
+    """Complete device inputs for BOTH fill directions.
+
+    One rate-limited forward band geometry serves forward and backward: the
+    reference's backward band mirrors to exactly the forward band in forward
+    coordinates (see dp.py module doc).  The rate limit (band start advances
+    by at most DMAX per column) turns all cross-column data movement into
+    static rolls — general gathers are ~25x slower on TPU.  When the cap
+    binds (needs >DMAX event levels mapped to one reference base) the band
+    lags the reference's placement by a few columns and catches up; the
+    half-width dwarfs the lag."""
+    from .dp import DMAX
+
+    n0 = arrays["n0"]
+    E = len(n0)
+    W = 2 * width + 1
+    i0p, i1p = limited_geometry(ref_indexes, n0, S, S_pad, width)
+    is_pad = np.zeros(S_pad, dtype=bool)
+    is_pad[S:] = True
+
+    # emission data: mean/stdv windows are shared; the inverse-Gaussian log-x
+    # input is the REVERSED log_stdv forward (the reference quirk,
+    # Alignment.cpp:171-172) and the plain log_stdv backward (mean[n0-i_b]
+    # index algebra maps to i-1 in forward coordinates)
+    T = arrays["mean"].shape[1]
+
+    def window_at(src, anchors, pv):
+        """w[e, r] = src[e, anchors[e]-1+r] with out-of-range -> pv."""
+        idx = anchors[:, None] - 1 + np.arange(W)[None, :]
+        ok = (idx >= 0) & (idx < T)
+        idxc = np.clip(idx, 0, T - 1)
+        vals = np.stack([src[e][idxc[e]] for e in range(E)], axis=0)
+        return np.where(ok, vals, pv)
+
+    def refill_arrays(src, base_anchors, pv):
+        """[S_pad, E, DMAX] with vals[q, e, t] = src[e, base_anchors[e,q]+t]."""
+        idx = base_anchors[:, :, None] + np.arange(DMAX)[None, None, :]
+        ok = (idx >= 0) & (idx < T)
+        idxc = np.clip(idx, 0, T - 1)
+        vals = np.stack([src[e][idxc[e]] for e in range(E)], axis=0)
+        vals = np.where(ok, vals, pv)
+        return np.ascontiguousarray(np.transpose(vals, (1, 0, 2)))
+
+    pad_vals = (0.0, 1.0, 0.0)
+    fwd_srcs = (arrays["mean"], arrays["stdv"], arrays["lsr"])
+    bwd_srcs = (arrays["mean"], arrays["stdv"], arrays["lsd"])
+
+    zeros_anchor = np.zeros(E, dtype=np.int64)
+    # forward: window 0 anchored at the blank column's start (i=0 -> idx r-1);
+    # tails for column q refill from the PREVIOUS column's window end
+    tail_base = i0p[:, :-1].astype(np.int64) + (W - 1)      # [E, S_pad]
+    # backward: window 0 anchored at the frozen pad anchor; heads for column q
+    # refill from the column's own start
+    head_base = i0p[:, 1:].astype(np.int64) - 1             # [E, S_pad]
+
+    fwd = dict(
+        win0=tuple(window_at(s, zeros_anchor, pv)
+                   for s, pv in zip(fwd_srcs, pad_vals)),
+        refills=tuple(refill_arrays(s, tail_base, pv)
+                      for s, pv in zip(fwd_srcs, pad_vals)),
+    )
+    bwd = dict(
+        win0=tuple(window_at(s, i0p[:, -1].astype(np.int64), pv)
+                   for s, pv in zip(bwd_srcs, pad_vals)),
+        refills=tuple(refill_arrays(s, head_base, pv)
+                      for s, pv in zip(bwd_srcs, pad_vals)),
+    )
+
+    return dict(i0=i0p, i1=i1p, is_pad=is_pad, fwd=fwd, bwd=bwd)
+
+
+def limited_geometry(ref_indexes, n0: np.ndarray, S: int, S_pad: int,
+                     width: int):
+    """Rate-limited band geometry padded to S_pad (+1 cols incl. blank):
+    starts advance by at most DMAX per column, tops re-clipped to the
+    rectangle, padding columns frozen at the col-S anchor with empty bands."""
+    from .dp import DMAX
+
+    E = len(n0)
+    W = 2 * width + 1
+    i0, i1 = band_geometry(ref_indexes, n0, S, width, backward=False)
+    for j in range(1, S + 1):
+        np.minimum(i0[:, j], i0[:, j - 1] + DMAX, out=i0[:, j])
+    i1 = np.minimum(i1, i0 + (W - 1))
+
+    i0p = np.zeros((E, S_pad + 1), dtype=np.int32)
+    i1p = np.zeros((E, S_pad + 1), dtype=np.int32)
+    i0p[:, : S + 1] = i0
+    i1p[:, : S + 1] = i1
+    i0p[:, S + 1 :] = i0[:, S][:, None]
+    i1p[:, S + 1 :] = 0
+    return i0p, i1p
 
 
 def band_geometry(ref_indexes, n0: np.ndarray, S: int, width: int, backward: bool):

@@ -1,9 +1,9 @@
-"""Multi-chip scaling: device mesh over (event, mutation) axes.
+"""Multi-chip scaling: device mesh over (event, mutation-group) axes.
 
 The reference's parallelism inventory (SURVEY.md 2.2) maps onto TPU as:
   * 'ev'  axis — data parallelism over event strands (the reference's
     "different events simultaneously", MakeMutations.cpp:20-22);
-  * 'mut' axis — parallelism over candidate mutations (independent per
+  * 'mut' axis — parallelism over candidate mutation groups (independent per
     mutation, MakeMutations.cpp:43-52);
   * regions are embarrassingly parallel across *processes/hosts* exactly like
     the reference's file-split cluster mode (split_fasta.py) — one region per
@@ -17,13 +17,11 @@ every device — the multi-host reduction the north star prescribes.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:
     from jax import shard_map as _shard_map
@@ -62,37 +60,40 @@ def pad_axis(x: np.ndarray, n: int, axis: int = 0, fill=0):
 
 
 def batch_spec(batch):
-    """PartitionSpec pytree for an EventBatch: all per-event arrays sharded on
-    'ev', model tables too (they are per-event)."""
+    """PartitionSpec pytree for an EventBatch: every array is per-event,
+    sharded on 'ev'."""
     from ..engine.tpu.dp import EventBatch
 
     return EventBatch(*([P("ev")] * len(batch)))
 
 
-def sharded_consensus_step(mesh: Mesh, width: int, K: int, dtype,
-                           scoring_width: int | None = None):
+def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
+                           K: int, Pslots: int, DM: int, dtype):
     """One scoring round, sharded: banded fwd+back fills (events sharded),
-    batched mutation deltas (events x mutations sharded), psum over 'ev' into
+    grouped mutation deltas (events x groups sharded), psum over 'ev' into
     replicated mutation totals, and a deterministic accept mask.
 
-    Returns a jitted function
-        step(batch, states, states_rev, i0f, i1f, i0b, i1b,
-             starts, startinds, mlens, nst, win, i0r, i1r, valid, lik_offset)
-        -> (scores [E], totals [M], accept [M])
+    Returns a jitted step:
+      step(batch, states, i0, i1, win0f, reff, win0b, refb, is_pad,
+           i0r, i1r, wins, g_start, g_startind, s_mlen, s_nst, s_win,
+           s_valid, lik_offset, S_real) -> (scores [E], totals [G, P], accept)
     """
     from ..engine.tpu.dp import make_fill
-    from ..engine.tpu.mutscore import _mut_kernel_factory
+    from ..engine.tpu.mutscore import _group_kernel
 
     fill = make_fill(width, dtype)
-    fill_nosteps = make_fill(width, dtype, need_steps=False)
-    scoring_width = scoring_width if scoring_width is not None else width // 2
-    mutk = _mut_kernel_factory(2 * width + 1, 2 * scoring_width + 1, K, dtype)
+    fill_ns = make_fill(width, dtype, need_steps=False)
+    RS = max(width - scoring_width, 0)
+    kern = _group_kernel(2 * width + 1, 2 * scoring_width + 1, RS, K, Pslots,
+                         DM, dtype)
 
-    def local_step(batch, states, states_rev, i0f, i1f, i0b, i1b,
-                   starts, startinds, mlens, nst, win, i0r, i1r, valid,
-                   lik_offset, S_real):
-        resf = fill(batch, states, i0f, i1f, lik_offset, False)
-        resb = fill_nosteps(batch, states_rev, i0b, i1b, lik_offset, True)
+    def local_step(batch, states, i0, i1, win0f, reff, win0b, refb, is_pad,
+                   i0r, i1r, wins, g_start, g_startind, s_mlen, s_nst, s_win,
+                   s_valid, lik_offset, S_real):
+        resf = fill(batch, states, i0, i1, win0f, reff, is_pad, lik_offset,
+                    False)
+        resb = fill_ns(batch, states, i0, i1, win0b, refb, is_pad, lik_offset,
+                       True)
         zero_col = jnp.zeros((1,) + resf.M.shape[1:], resf.M.dtype)
         Mf = jnp.concatenate([zero_col, resf.M])
         Sf = jnp.concatenate([zero_col, resf.S])
@@ -101,32 +102,33 @@ def sharded_consensus_step(mesh: Mesh, width: int, K: int, dtype,
         zrow = jnp.zeros((1, resf.M.shape[1]), resf.M.dtype)
         bpf = jnp.concatenate([zrow, resf.best_pfx])
         bpb = jnp.concatenate([zrow, resb.best_pfx])
-        # local partial totals over this shard's events and mutations
-        part = mutk(batch, Mf, Sf, i0f, i1f, bpf, Mb, Sb, i0b, bpb,
-                    starts, startinds, mlens, nst, win, i0r, i1r,
-                    valid, lik_offset, S_real)
-        # reduce event-parallel partials -> replicated per-mutation totals
+        win_mean, win_stdv, win_lsr = wins
+        part = kern(batch, Mf, Sf, Mb, Sb, i0, i1, i0r, i1r, bpf, bpb,
+                    win_mean, win_stdv, win_lsr,
+                    g_start, g_startind, s_mlen, s_nst, s_win, s_valid,
+                    lik_offset, S_real)
         totals = jax.lax.psum(part, "ev")
         scores = jnp.maximum(resf.best, resb.best)
-        # deterministic, replicated accept decision (scores > 0)
         accept = totals > 0
         return scores, totals, accept
 
-    bspec = None  # computed at call time (pytree of P('ev'))
-
     def step(batch, *args):
-        from ..engine.tpu.dp import EventBatch
-
         bs = batch_spec(batch)
+        wspec = (P("ev"),) * 3
+        rspec = (P(None, "ev"),) * 3
         f = shard_map(
             local_step, mesh,
             in_specs=(
-                bs,            # batch: events sharded
-                P(), P(),      # states fwd/rev replicated
-                P("ev"), P("ev"), P("ev"), P("ev"),   # band geometry
-                P("mut"), P("mut"), P("mut"), P("mut"),  # per-mut scalars
-                P("mut"), P("mut", None, "ev"), P("mut", None, "ev"),  # win, i0r, i1r
-                P("mut"), P(), P(),
+                bs,                       # batch: events sharded
+                P(),                      # states replicated
+                P("ev"), P("ev"),         # band geometry
+                wspec, rspec, wspec, rspec,  # windows + refills (both dirs)
+                P(),                      # is_pad
+                P("ev"), P("ev"),         # scoring geometry
+                (P(None, "ev"),) * 3,     # scoring-band windows
+                P("mut"), P("mut"),       # group scalars
+                P("mut"), P("mut"), P("mut"), P("mut"),  # slot arrays
+                P(), P(),
             ),
             out_specs=(P("ev"), P("mut"), P("mut")),
         )

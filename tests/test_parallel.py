@@ -36,28 +36,41 @@ def test_sharded_step_matches_single_device():
 
     rng = np.random.default_rng(1)
     t = _tiny_inputs(rng, coverage=8, n_muts=16)
+    fi, gi = t["fi"], t["gi"]
     arrays = {k: pad_axis(np.asarray(v), 4, axis=0) for k, v in t["arrays"].items()}
     batch = to_device_batch(arrays, jnp.float32)
 
-    def padE(x, ax=0):
-        return np.ascontiguousarray(pad_axis(x, 4, axis=ax))
+    def padE(x, axis=0):
+        return jnp.asarray(np.ascontiguousarray(
+            pad_axis(np.asarray(x), 4, axis=axis)))
+
+    def padG(x):
+        return jnp.asarray(pad_axis(np.asarray(x), 2, axis=0))
 
     common = (
-        jnp.asarray(t["states_pad"]), jnp.asarray(t["states_rev_pad"]),
-        jnp.asarray(padE(t["i0f"])), jnp.asarray(padE(t["i1f"])),
-        jnp.asarray(padE(t["i0b"])), jnp.asarray(padE(t["i1b"])),
-        jnp.asarray(t["starts"]), jnp.asarray(t["startinds"]),
-        jnp.asarray(t["mlens"]), jnp.asarray(t["nst"]), jnp.asarray(t["win"]),
-        jnp.asarray(padE(t["i0r"], 2)), jnp.asarray(padE(t["i1r"], 2)),
-        jnp.asarray(t["valid"]), 4.5, t["S"],
+        jnp.asarray(t["states_pad"]),
+        padE(fi["i0"]), padE(fi["i1"]),
+        tuple(padE(w) for w in fi["fwd"]["win0"]),
+        tuple(padE(x, 1) for x in fi["fwd"]["refills"]),
+        tuple(padE(w) for w in fi["bwd"]["win0"]),
+        tuple(padE(x, 1) for x in fi["bwd"]["refills"]),
+        jnp.asarray(fi["is_pad"]),
+        padE(gi["i0r"]), padE(gi["i1r"]),
+        tuple(padE(w, 1) for w in gi["wins"]),
+        padG(gi["g_start"]), padG(gi["g_startind"]),
+        padG(gi["s_mlen"]), padG(gi["s_nst"]), padG(gi["s_win"]),
+        padG(gi["s_valid"]),
+        4.5, t["S"],
     )
 
     mesh1 = make_mesh(n_ev=1, n_mut=1, devices=jax.devices()[:1])
-    step1 = sharded_consensus_step(mesh1, t["width"], t["K"], jnp.float32)
+    step1 = sharded_consensus_step(mesh1, t["width"], t["scoring_width"],
+                                   gi["K"], gi["P"], gi["D"], jnp.float32)
     s1, tot1, acc1 = step1(batch, *common)
 
     mesh8 = make_mesh(n_ev=4, n_mut=2, devices=jax.devices()[:8])
-    step8 = sharded_consensus_step(mesh8, t["width"], t["K"], jnp.float32)
+    step8 = sharded_consensus_step(mesh8, t["width"], t["scoring_width"],
+                                   gi["K"], gi["P"], gi["D"], jnp.float32)
     s8, tot8, acc8 = step8(batch, *common)
 
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s8), atol=1e-5)
