@@ -417,6 +417,7 @@ def score_mutations_tpu(engine, data: AlignData, muts):
     # post-backtrace scoring-band geometry (the reference recomputes band
     # centers from the refreshed ref_index, Alignment.cpp:131-132)
     post_ris = [update_refs(ev.ref_align)[0] for ev in data.events]
+    post_ris += [np.zeros(0)] * (len(n0) - len(post_ris))  # inactive padding
     gi = prepare_group_inputs(data.sequence, muts, S, S_pad, p.scoring_width,
                               arrays, post_ris, dtype)
     win_mean, win_stdv, win_lsr = gi["wins"]
