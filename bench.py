@@ -35,7 +35,9 @@ def main():
 
     rng = np.random.default_rng(0)
     REF_LEN = 1000
-    COVERAGE = 20  # 10X, two strands per read
+    COVERAGE = 60  # 30 reads x 2 strands: the default max_coverage cap
+                   # (/root/reference/defaults.conf:6); rates are
+                   # coverage-independent so vs_baseline stays comparable
     WIDTH = 300    # realign_width
 
     pa, _ = simulate_session(rng, ref_len=REF_LEN, coverage=COVERAGE)

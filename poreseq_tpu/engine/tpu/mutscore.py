@@ -119,7 +119,7 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
         mt = jnp.stack([batch.lev_mean, batch.lev_stdv, batch.log_lev,
                         batch.sd_mean, batch.sd_lambda, batch.log_lambda])
 
-        def group(_, xs):
+        def group(xs):
             start, startind, mlen, nst, winst, valid = xs
             st0 = jnp.clip(startind, 0, C1 - 1)
 
@@ -261,12 +261,21 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
             delta = new - old[None]                                # [P, E]
             ok = valid[:, None] & batch.active[None, :]
             delta = jnp.where(ok, delta, 0.0)
-            return None, jnp.sum(delta, axis=1)
+            return jnp.sum(delta, axis=1)
 
-        _, totals = jax.lax.scan(
-            group, None,
-            (g_start, g_startind, s_mlen, s_nst, s_win, s_valid))
-        return totals
+        # GB independent groups per scan step (vmapped): amortizes the
+        # per-op dispatch overhead that dominates at small shapes
+        GB = 8
+        xs = (g_start, g_startind, s_mlen, s_nst, s_win, s_valid)
+        G = g_start.shape[0]
+        xs_r = jax.tree_util.tree_map(
+            lambda a: a.reshape((G // GB, GB) + a.shape[1:]), xs)
+
+        def seg(_, xseg):
+            return None, jax.vmap(group)(xseg)
+
+        _, totals = jax.lax.scan(seg, None, xs_r)
+        return totals.reshape(G, -1)
 
     _KERNELS[key] = kernel
     return kernel
