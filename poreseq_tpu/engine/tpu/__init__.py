@@ -16,7 +16,8 @@ from ...core.regions import MutationScore
 from ..types import AlignData, make_mutscores
 from ..exact.align import likes_contribution
 from ..exact.sw import map_alignments as _map_alignments
-from .align import FILLS, backtrace_device
+from ...core.events import update_refs
+from .align import FILLS, FUSED, backtrace_device
 from .pack import fill_inputs, pack_events, round_up, to_device_batch
 
 
@@ -30,8 +31,20 @@ class TpuEngine:
 
     def __init__(self, dtype=None):
         self.dtype = dtype or jnp.float32
+        # one-region device-batch cache: event level/model data is constant
+        # across engine calls (only ref_align changes, which lives host-side),
+        # so the ~35 MB batch upload happens once per region
+        self._bcache = None
 
     # ---------------- core fills ----------------
+
+    @staticmethod
+    def _fingerprint(events):
+        return (len(events),) + tuple(
+            (len(ev.mean),
+             float(ev.mean[0]) if len(ev.mean) else 0.0,
+             float(ev.model.level_mean[0]))
+            for ev in events)
 
     def _prepare(self, data: AlignData):
         states = seq_to_states(data.sequence)
@@ -43,8 +56,22 @@ class TpuEngine:
         states_pad[:S] = states
         states_rev_pad = np.full(S_pad, -1, dtype=np.int32)
         states_rev_pad[:S] = states[::-1]
-        arrays, ref_indexes = pack_events(data.events)
-        batch = to_device_batch(arrays, self.dtype)
+
+        fp = self._fingerprint(data.events)
+        ref_indexes = [update_refs(ev.ref_align)[0] for ev in data.events]
+        if self._bcache is not None and self._bcache[0] == fp:
+            _, batch, arrays = self._bcache
+            E_pad = len(arrays["n0"])
+            ref_indexes += [np.zeros(0)] * (E_pad - len(ref_indexes))
+            active = np.array([len(r) > 0 for r in ref_indexes])
+            if not np.array_equal(active, arrays["active"]):
+                arrays = dict(arrays, active=active)
+                batch = batch._replace(active=jnp.asarray(active))
+                self._bcache = (fp, batch, arrays)
+        else:
+            arrays, ref_indexes = pack_events(data.events)
+            batch = to_device_batch(arrays, self.dtype)
+            self._bcache = (fp, batch, arrays)
         n0 = arrays["n0"]
         return states, S, S_pad, states_pad, states_rev_pad, batch, arrays, ref_indexes, n0
 
@@ -68,13 +95,15 @@ class TpuEngine:
          n0) = self._prepare(data)
         p = data.params
         fi = fill_inputs(arrays, ref_indexes, S, S_pad, p.realign_width)
-        res = self._fill_dir(batch, states_pad, fi, p.realign_width,
-                             p.lik_offset, backward=False)
         T = arrays["mean"].shape[1]
         max_steps = int(S_pad + 2 * T + 8)
-        ral, rlk = backtrace_device(
-            res.M, res.S, res.steps_m, res.steps_s, res.i0, res.i1,
-            res.best_i, res.best_j, t_pad=T, max_steps=max_steps,
+        fused = FUSED.fwd(p.realign_width, self.dtype)
+        dd = fi["fwd"]
+        res, ral, rlk = fused(
+            batch, jnp.asarray(states_pad), jnp.asarray(fi["i0"]),
+            jnp.asarray(fi["i1"]), dd["win0"], dd["refills"],
+            jnp.asarray(fi["is_pad"]), float(p.lik_offset),
+            t_pad=T, max_steps=max_steps,
         )
         ral = np.asarray(ral, dtype=np.float64)
         rlk = np.asarray(rlk, dtype=np.float64)

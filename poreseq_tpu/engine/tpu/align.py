@@ -16,9 +16,8 @@ import numpy as np
 from .dp import EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY, FillResult, make_fill
 
 
-@functools.partial(jax.jit, static_argnames=("t_pad", "max_steps"))
-def backtrace_device(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 0,
-                     max_steps: int = 0):
+def backtrace_core(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 0,
+                   max_steps: int = 0):
     """Vectorized best-path backtrace (Alignment.cpp:516-624).
 
     M/S/steps: [C, E, W]; i0/i1: [E, C+1]; returns ref_align [E,T] (float:
@@ -79,6 +78,58 @@ def backtrace_device(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int 
         jnp.moveaxis(steps_m, 1, 0), jnp.moveaxis(steps_s, 1, 0),
         i0, i1, best_i, best_j,
     )
+
+
+backtrace_device = jax.jit(backtrace_core,
+                           static_argnames=("t_pad", "max_steps"))
+
+
+class FusedCache:
+    """Jitted fused programs: fill(s) + backtrace in ONE device call — each
+    dispatch through the tunnel costs real latency, and the host needs only
+    the (small) backtrace outputs between stages."""
+
+    def __init__(self):
+        self._fns = {}
+
+    def fwd(self, width, dtype):
+        """fill forward + backtrace: returns (FillResult, ral, rlk)."""
+        key = ("fwd", width, str(dtype))
+        if key not in self._fns:
+            fill = make_fill(width, dtype, need_steps=True)
+
+            def go(batch, states, i0, i1, w0, rf, is_pad, off, t_pad=0,
+                   max_steps=0):
+                r = fill(batch, states, i0, i1, w0, rf, is_pad, off, False)
+                ral, rlk = backtrace_core(r.M, r.S, r.steps_m, r.steps_s,
+                                          r.i0, r.i1, r.best_i, r.best_j,
+                                          t_pad, max_steps)
+                return r, ral, rlk
+
+            self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
+        return self._fns[key]
+
+    def both(self, width, dtype):
+        """fwd fill + bwd fill + backtrace in one call."""
+        key = ("both", width, str(dtype))
+        if key not in self._fns:
+            fillf = make_fill(width, dtype, need_steps=True)
+            fillb = make_fill(width, dtype, need_steps=False)
+
+            def go(batch, states, i0, i1, w0f, rff, w0b, rfb, is_pad, off,
+                   t_pad=0, max_steps=0):
+                rf = fillf(batch, states, i0, i1, w0f, rff, is_pad, off, False)
+                rb = fillb(batch, states, i0, i1, w0b, rfb, is_pad, off, True)
+                ral, rlk = backtrace_core(rf.M, rf.S, rf.steps_m, rf.steps_s,
+                                          rf.i0, rf.i1, rf.best_i, rf.best_j,
+                                          t_pad, max_steps)
+                return rf, rb, ral, rlk
+
+            self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
+        return self._fns[key]
+
+
+FUSED = FusedCache()
 
 
 class FillCache:

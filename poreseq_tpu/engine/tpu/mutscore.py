@@ -28,7 +28,7 @@ import numpy as np
 
 from ...core.sequence import apply_mutation, seq_to_states
 from ..types import AlignData, make_mutscores
-from .align import backtrace_device
+from .align import FUSED
 from ...core.events import update_refs
 from .dp import (DMAX, emission, column_solve, neg_big, shift_select,
                  shift_select2)
@@ -97,15 +97,32 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
 
     @jax.jit
     def kernel(batch, Mf, Sf, Mb, Sb, i0f, i1f, i0r, i1r, bpf, bpb,
-               win_mean, win_stdv, win_lsr,
                g_start, g_startind, s_mlen, s_nst, s_win, s_valid,
                lik_offset, S_real):
         """Mf/Sf/Mb/Sb [C+1, E, W] blank-extended, indexed by forward column;
         i0f/i1f [E, C+1] realign geometry; i0r/i1r [E, C+1] scoring-band
-        geometry (post-backtrace); bpf/bpb [C+1, E]; win_* [Q1, E, Ws]
-        anchored at i0r(q); g_* [G]; s_* [G, P(, K)].  Returns [G, P]."""
+        geometry (post-backtrace, also the window anchors); bpf/bpb [C+1, E];
+        g_* [G]; s_* [G, P(, K)].  Returns [G, P]."""
         C1, E, _ = Mf.shape
-        Q1 = win_mean.shape[0]
+        Q1 = i0r.shape[1]
+        Tlev = batch.mean.shape[1]
+
+        # scoring-band data windows built on device (one big block gather is
+        # far cheaper than shipping ~35 MB of host-built windows per call)
+        widx = i0r[:, :, None].astype(jnp.int32) - 1 + jnp.arange(
+            Ws, dtype=jnp.int32)[None, None, :]               # [E, Q1, Ws]
+        wok = (widx >= 0) & (widx < Tlev)
+        widxc = jnp.clip(widx, 0, Tlev - 1).reshape(i0r.shape[0], -1)
+
+        def _bw(src, pv):
+            v = jnp.take_along_axis(src, widxc, axis=1).reshape(
+                i0r.shape[0], Q1, Ws)
+            v = jnp.where(wok, v, pv)
+            return jnp.moveaxis(v, 0, 1).astype(dtype)        # [Q1, E, Ws]
+
+        win_mean = _bw(batch.mean, 0.0)
+        win_stdv = _bw(batch.stdv, 1.0)
+        win_lsr = _bw(batch.lsr, 0.0)
         NB = neg_big(dtype)
         rows = jnp.arange(Ws, dtype=jnp.int32)
         n0 = batch.n0
@@ -282,17 +299,23 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
 
 
 def _k_bucket(k: int) -> int:
-    for b in (7, 10, 16, 26, 46, 86, 160):
+    # coarse buckets: every (K, P, D, G) combination is a separate compiled
+    # program, and compiles cost minutes on this platform
+    for b in (7, 16, 46, 160):
         if k <= b:
             return b
-    return round_up(k, 64)
+    return round_up(k, 128)
 
 
 def _d_bucket(d: int) -> int:
-    for b in (1, 2, 4, 8, 16):
-        if d <= b:
-            return b
-    return 32
+    return 4 if d <= 4 else 32
+
+
+def _g_bucket(g: int) -> int:
+    n = 32
+    while n < g:
+        n *= 2
+    return n
 
 
 
@@ -307,20 +330,6 @@ def prepare_group_inputs(sequence, muts, S, S_pad, scoring_width, arrays,
     Ws = 2 * scoring_width + 1
     i0r_h, i1r_h = limited_geometry(ref_indexes, n0, S, S_pad, scoring_width)
     i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
-
-    anchors = i0r_h.astype(np.int64)         # [E, S_pad+1]
-    idx = anchors[:, :, None] - 1 + np.arange(Ws)[None, None, :]
-    okw = (idx >= 0) & (idx < T)
-    idxc = np.clip(idx, 0, T - 1)
-
-    def build_win(src, pv):
-        vals = np.stack([src[e][idxc[e]] for e in range(E)], axis=0)
-        vals = np.where(okw, vals, pv)
-        return jnp.asarray(np.ascontiguousarray(vals.transpose(1, 0, 2)),
-                           dtype)
-
-    wins = (build_win(arrays["mean"], 0.0), build_win(arrays["stdv"], 1.0),
-            build_win(arrays["lsr"], 0.0))
 
     n_m = len(muts)
     starts = np.array([m.start for m in muts], dtype=np.int64)
@@ -341,9 +350,9 @@ def prepare_group_inputs(sequence, muts, S, S_pad, scoring_width, arrays,
         cur.append(int(mi))
     if cur:
         groups.append(cur)
-    P = max(len(g) for g in groups)
+    P = 9  # fixed slot count (one compiled variant)
     G = len(groups)
-    G_pad = round_up(G, 32)
+    G_pad = _g_bucket(G)
 
     g_start = np.zeros(G_pad, dtype=np.int32)
     g_startind = np.zeros(G_pad, dtype=np.int32)
@@ -372,7 +381,7 @@ def prepare_group_inputs(sequence, muts, S, S_pad, scoring_width, arrays,
             s_valid[g, t] = m.start <= len(sequence)
             s_idx[g, t] = mi
 
-    return dict(wins=wins, K=K_all, D=D_all, P=P, G=G, G_pad=G_pad,
+    return dict(K=K_all, D=D_all, P=P, G=G, G_pad=G_pad,
                 i0r=i0r_h, i1r=i1r_h, g_start=g_start, g_startind=g_startind,
                 s_mlen=s_mlen, s_nst=s_nst, s_win=s_win, s_valid=s_valid,
                 s_idx=s_idx)
@@ -394,15 +403,15 @@ def score_mutations_tpu(engine, data: AlignData, muts):
     dtype = engine.dtype
 
     fi = fill_inputs(arrays, ref_indexes, S, S_pad, p.realign_width)
-    resf = engine._fill_dir(batch, states_pad, fi, p.realign_width,
-                            p.lik_offset, backward=False)
-    resb = engine._fill_dir(batch, states_pad, fi, p.realign_width,
-                            p.lik_offset, backward=True)
-
     T = arrays["mean"].shape[1]
-    ral, rlk = backtrace_device(
-        resf.M, resf.S, resf.steps_m, resf.steps_s, resf.i0, resf.i1,
-        resf.best_i, resf.best_j, t_pad=T, max_steps=int(S_pad + 2 * T + 8))
+    fused = FUSED.both(p.realign_width, dtype)
+    resf, resb, ral, rlk = fused(
+        batch, jnp.asarray(states_pad), jnp.asarray(fi["i0"]),
+        jnp.asarray(fi["i1"]),
+        fi["fwd"]["win0"], fi["fwd"]["refills"],
+        fi["bwd"]["win0"], fi["bwd"]["refills"],
+        jnp.asarray(fi["is_pad"]), float(p.lik_offset),
+        t_pad=T, max_steps=int(S_pad + 2 * T + 8))
     ral = np.asarray(ral, dtype=np.float64)
     rlk = np.asarray(rlk, dtype=np.float64)
     for e, ev in enumerate(data.events):
@@ -429,7 +438,6 @@ def score_mutations_tpu(engine, data: AlignData, muts):
     post_ris += [np.zeros(0)] * (len(n0) - len(post_ris))  # inactive padding
     gi = prepare_group_inputs(data.sequence, muts, S, S_pad, p.scoring_width,
                               arrays, post_ris, dtype)
-    win_mean, win_stdv, win_lsr = gi["wins"]
     K_all, D_all, P = gi["K"], gi["D"], gi["P"]
     G, G_pad = gi["G"], gi["G_pad"]
     i0r_h, i1r_h = gi["i0r"], gi["i1r"]
@@ -442,7 +450,6 @@ def score_mutations_tpu(engine, data: AlignData, muts):
     totals_gp = np.asarray(kern(
         batch, Mf, Sf, Mb, Sb, i0f, i1f,
         jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,
-        win_mean, win_stdv, win_lsr,
         jnp.asarray(g_start), jnp.asarray(g_startind),
         jnp.asarray(s_mlen), jnp.asarray(s_nst), jnp.asarray(s_win),
         jnp.asarray(s_valid), float(p.lik_offset), S,

@@ -88,7 +88,7 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
                          DM, dtype)
 
     def local_step(batch, states, i0, i1, win0f, reff, win0b, refb, is_pad,
-                   i0r, i1r, wins, g_start, g_startind, s_mlen, s_nst, s_win,
+                   i0r, i1r, g_start, g_startind, s_mlen, s_nst, s_win,
                    s_valid, lik_offset, S_real):
         resf = fill(batch, states, i0, i1, win0f, reff, is_pad, lik_offset,
                     False)
@@ -102,9 +102,7 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
         zrow = jnp.zeros((1, resf.M.shape[1]), resf.M.dtype)
         bpf = jnp.concatenate([zrow, resf.best_pfx])
         bpb = jnp.concatenate([zrow, resb.best_pfx])
-        win_mean, win_stdv, win_lsr = wins
         part = kern(batch, Mf, Sf, Mb, Sb, i0, i1, i0r, i1r, bpf, bpb,
-                    win_mean, win_stdv, win_lsr,
                     g_start, g_startind, s_mlen, s_nst, s_win, s_valid,
                     lik_offset, S_real)
         totals = jax.lax.psum(part, "ev")
@@ -125,7 +123,6 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
                 wspec, rspec, wspec, rspec,  # windows + refills (both dirs)
                 P(),                      # is_pad
                 P("ev"), P("ev"),         # scoring geometry
-                (P(None, "ev"),) * 3,     # scoring-band windows
                 P("mut"), P("mut"),       # group scalars
                 P("mut"), P("mut"), P("mut"), P("mut"),  # slot arrays
                 P(), P(),

@@ -56,7 +56,6 @@ def test_sharded_step_matches_single_device():
         tuple(padE(x, 1) for x in fi["bwd"]["refills"]),
         jnp.asarray(fi["is_pad"]),
         padE(gi["i0r"]), padE(gi["i1r"]),
-        tuple(padE(w, 1) for w in gi["wins"]),
         padG(gi["g_start"]), padG(gi["g_startind"]),
         padG(gi["s_mlen"]), padG(gi["s_nst"]), padG(gi["s_win"]),
         padG(gi["s_valid"]),
