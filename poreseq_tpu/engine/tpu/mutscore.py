@@ -312,10 +312,10 @@ def _d_bucket(d: int) -> int:
 
 
 def _g_bucket(g: int) -> int:
-    n = 32
-    while n < g:
-        n *= 2
-    return n
+    for b in (128, 1024):
+        if g <= b:
+            return b
+    return round_up(g, 4096)
 
 
 

@@ -84,9 +84,14 @@ def _host_observations(events, skip_prob, stay_prob):
     return np.asarray(obs_rows)
 
 
-def _viterbi_sweep(obs, skip_prob, stay_prob):
-    """Device recursion: returns (liks [1024], backptrs [R,1024] i32,
-    fwdprobs [R,1024] f32)."""
+_SWEEP_CACHE = {}
+
+
+def _viterbi_sweep(obs, n_real, skip_prob, stay_prob):
+    """Device recursion over R_pad >= n_real positions (padded so the scan
+    shape — and hence the compiled program — is stable across calls).
+    Padded steps pass the carry through.  Returns (liks at the last real
+    position [1024], backptrs [R,1024] i32, fwdprobs [R,1024] f32)."""
     skip_lik = float(np.log(skip_prob))
     stay_lik = float(np.log(stay_prob))
     l25 = float(np.log(0.25))
@@ -109,7 +114,8 @@ def _viterbi_sweep(obs, skip_prob, stay_prob):
         g = F.reshape(1 << (2 * j), 1024 >> (2 * j)).sum(axis=0)
         return jnp.repeat(g, 1 << (2 * j))
 
-    def step(carry, ob):
+    def step(carry, xs):
+        ob, valid = xs
         liks, fwd = carry
         lsp1 = l25
         lsp2 = l25 + l25 + skip_lik
@@ -138,11 +144,23 @@ def _viterbi_sweep(obs, skip_prob, stay_prob):
              + sp3 * group_sum(fwd, 3) + stay_prob * fwd)
         f = f * jnp.exp(ob)
         f = f / jnp.sum(f)
+        newlik = jnp.where(valid, newlik, liks)
+        f = jnp.where(valid, f, fwd)
         return (newlik, f), (bp, f)
 
+    key = (skip_prob, stay_prob)
+    if key not in _SWEEP_CACHE:
+        _SWEEP_CACHE[key] = jax.jit(
+            lambda i, o, v: jax.lax.scan(step, i, (o, v)))
+    _SWEEP_JIT = _SWEEP_CACHE[key]
+    R = obs.shape[0]
+    R_pad = ((R + 63) // 64) * 64
+    obs_p = np.zeros((R_pad, 1024))
+    obs_p[:R] = obs
+    valid = jnp.arange(R_pad) < n_real
     init = (jnp.zeros(1024), jnp.full(1024, 1.0 / 1024.0))
-    (liks, _), (bps, fwds) = jax.lax.scan(step, init, jnp.asarray(obs))
-    return liks, bps, fwds
+    (liks, _), (bps, fwds) = _SWEEP_JIT(init, jnp.asarray(obs_p), valid)
+    return liks, bps[:R], fwds[:R]
 
 
 def _build_T(skip_prob, stay_prob):
@@ -190,7 +208,7 @@ def viterbi_mutate_tpu(events, nkeep, skip_prob, stay_prob, mut_min, mut_max,
     obs = _host_observations(events, skip_prob, stay_prob)
     if len(obs) == 0:
         return []
-    liks, bps, fwds = _viterbi_sweep(obs, skip_prob, stay_prob)
+    liks, bps, fwds = _viterbi_sweep(obs, len(obs), skip_prob, stay_prob)
     liks = np.asarray(liks)
     startst = int(np.argmax(liks))
     n = len(obs)
@@ -206,25 +224,35 @@ def viterbi_mutate_tpu(events, nkeep, skip_prob, stay_prob, mut_min, mut_max,
 
     # stochastic backtraces on device: sample predecessor ~ T[cur] * fwd^atten
     T = jnp.asarray(_build_T(skip_prob, stay_prob))
-    fwds_j = jnp.asarray(fwds)
+    R = len(fwds)
+    R_pad = ((R + 63) // 64) * 64
+    fwds_p = np.full((R_pad, 1024), 1.0 / 1024.0)
+    fwds_p[:R] = np.asarray(fwds)
 
-    def backtrace(atten, key):
-        def step(carry, xs):
-            cur, key = carry
-            f = xs
-            key, sub = jax.random.split(key)
-            probs = T[cur] * jnp.power(f, atten)
-            probs = probs / jnp.sum(probs)
-            nxt = jax.random.categorical(sub, jnp.log(probs + 1e-300))
-            return (nxt.astype(jnp.int32), key), cur
+    if "bt" not in _SWEEP_CACHE:
+        def backtrace(T, fwds_j, valid, startst, atten, key):
+            def step(carry, xs):
+                cur, key = carry
+                f, ok = xs
+                key, sub = jax.random.split(key)
+                probs = T[cur] * jnp.power(f, atten)
+                probs = probs / jnp.sum(probs)
+                nxt = jax.random.categorical(sub, jnp.log(probs + 1e-300))
+                nxt = jnp.where(ok, nxt.astype(jnp.int32), cur)
+                return (nxt, key), cur
 
-        (_, _), states_rev = jax.lax.scan(
-            step, (jnp.int32(startst), key), fwds_j, reverse=True)
-        return states_rev
+            (_, _), states_rev = jax.lax.scan(
+                step, (startst, key), (fwds_j, valid), reverse=True)
+            return states_rev
+
+        _SWEEP_CACHE["bt"] = jax.jit(jax.vmap(
+            backtrace, in_axes=(None, None, None, None, 0, 0)))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), nkeep)
     attens = jnp.asarray(
         [mut_min + (mut_max - mut_min) * k / float(nkeep) for k in range(nkeep)])
-    paths = jax.vmap(backtrace)(attens, keys)
-    paths = np.asarray(paths)
+    valid = jnp.arange(R_pad) < R
+    paths = _SWEEP_CACHE["bt"](T, jnp.asarray(fwds_p), valid,
+                               jnp.int32(startst), attens, keys)
+    paths = np.asarray(paths)[:, :R]
     return [_states_to_seq(paths[k]) for k in range(nkeep)]

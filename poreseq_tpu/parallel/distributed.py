@@ -1,0 +1,51 @@
+"""Multi-host orchestration helpers.
+
+The unit of cross-host work is the region (1 kb-overlap tiling; SURVEY.md
+section 5.7): hosts correct disjoint region subsets and the outputs are
+`poreseq merge`d — the same topology as the reference's manual .region-file
+cluster mode (README.md:48-62), without the manual file juggling.
+
+Within a host, chips scale via the (ev x mut) shard_map mesh
+(parallel/mesh.py) whose per-event likelihood deltas are psum-reduced before
+the deterministic, replicated greedy accept — so every process derives the
+identical corrected sequence for its regions.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> tuple[int, int]:
+    """Initialize jax.distributed from args or the standard environment
+    variables; returns (process_id, num_processes).  Safe to call in
+    single-process mode (returns (0, 1) without initializing)."""
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "PSQ_COORDINATOR")
+    if coordinator_address is None and num_processes is None:
+        return 0, 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index(), jax.process_count()
+
+
+def shard_regions(regions: list[str], process_id: int | None = None,
+                  num_processes: int | None = None) -> list[str]:
+    """Round-robin region assignment for this process (matches the CLI's
+    --shard-index/--num-shards semantics)."""
+    if process_id is None or num_processes is None:
+        try:
+            import jax
+
+            process_id = jax.process_index()
+            num_processes = jax.process_count()
+        except Exception:
+            return regions
+    return regions[process_id::num_processes]
