@@ -54,6 +54,10 @@ def main(argv=None):
                             help="this worker's index for multi-host region sharding")
     parse_cons.add_argument("--num-shards", type=int, default=1,
                             help="total workers; regions are dealt round-robin")
+    parse_cons.add_argument("--region-batch", type=int, default=1,
+                            help="process this many regions per device "
+                            "program (lockstep cross-region batching; "
+                            "tpu backend)")
     parse_cons.set_defaults(func=consensus)
 
     parse_var = subparsers.add_parser("variant", help="call sequence variants")
@@ -156,10 +160,52 @@ def consensus(args):
         out = open(args.output, "a")
     else:
         out = sys.stdout if args.output is None else open(args.output, "w")
+    regions = [r for r in regions if r.split(" ")[0] not in done]
+    for r in sorted(done):
+        sys.stderr.write("Resuming past {}\n".format(r))
+
+    def emit(region, seq, acc):
+        if args.test:
+            region += " [" + str(round(acc, 2)) + "]"
+        out.write(">{}\n{}\n".format(region, seq))
+        out.flush()
+
+    batch = max(int(getattr(args, "region_batch", 1) or 1), 1)
+    if batch > 1:
+        from .pipeline import mutate_many
+
+        for at in range(0, len(regions), batch):
+            chunk = regions[at : at + batch]
+            try:
+                results = mutate_many(
+                    args.ref, args.bam, args.dir, chunk, params=args.params,
+                    test=args.test, verbose=args.verbose,
+                    reps=args.iterations, backend=args.backend)
+            except Exception as e:
+                # fall back to one-at-a-time so a single bad region only
+                # skips itself (matching the sequential error unit)
+                sys.stderr.write("Batch failed ({}), replaying {} regions "
+                                 "individually\n".format(str(e), len(chunk)))
+                results = None
+            if results is not None:
+                for region, res in zip(chunk, results):
+                    if res is not None:  # None = region skipped during load
+                        emit(region, res[0], res[1])
+                continue
+            for region in chunk:
+                try:
+                    seq, acc = mutate(args.ref, args.bam, args.dir,
+                                      params=args.params, region=region,
+                                      test=args.test, verbose=args.verbose,
+                                      reps=args.iterations,
+                                      backend=args.backend)
+                except Exception as e:
+                    sys.stderr.write("Skipping {}: {}\n".format(region, str(e)))
+                    continue
+                emit(region, seq, acc)
+        return
+
     for region in regions:
-        if region.split(" ")[0] in done:
-            sys.stderr.write("Resuming past {}\n".format(region))
-            continue
         try:
             seq, acc = mutate(args.ref, args.bam, args.dir, params=args.params,
                               region=region, test=args.test,
@@ -168,10 +214,7 @@ def consensus(args):
         except Exception as e:
             sys.stderr.write("Skipping {}: {}\n".format(region, str(e)))
             continue
-        if args.test:
-            region += " [" + str(round(acc, 2)) + "]"
-        out.write(">{}\n{}\n".format(region, seq))
-        out.flush()
+        emit(region, seq, acc)
 
 
 def variant(args):

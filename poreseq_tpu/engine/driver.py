@@ -24,6 +24,41 @@ from ..core.sequence import apply_mutation
 from .types import AlignData
 
 
+def candidate_dlikes(seqreflike: np.ndarray, reflikes: np.ndarray,
+                     pairs: np.ndarray):
+    """Per-candidate CUSUM'd likelihood-difference track + its alignment index
+    pair (FindMutations.cpp:51-94): the match-the-matlab -2 decrement, dropped
+    invalid leading pairs, successive differences, CUSUM clamped at zero with
+    exact-tie zeroing."""
+    inds1 = pairs[:, 0].astype(np.int64) - 2
+    inds2 = pairs[:, 1].astype(np.int64) - 2
+    k = 0
+    while k < len(inds1) and (inds1[k] < 0 or inds2[k] < 0):
+        k += 1
+    inds1, inds2 = inds1[k:], inds2[k:]
+
+    alref1 = seqreflike[inds1].copy()
+    alref2 = reflikes[inds2].copy()
+    # successive differences (in place, back to front), first elt zeroed
+    alref1[1:] = alref1[1:] - alref1[:-1]
+    alref2[1:] = alref2[1:] - alref2[:-1]
+    if len(alref1):
+        alref1[0] = 0.0
+        alref2[0] = 0.0
+
+    dlikes = np.zeros(len(alref1), dtype=np.float64)
+    cusum = 0.0
+    for j in range(len(alref1)):
+        cusum += alref2[j] - alref1[j]
+        if cusum < 0:
+            cusum = 0.0
+        dlikes[j] = cusum
+        if abs(alref1[j] - alref2[j]) < 1e-5:
+            dlikes[j] = 0.0
+
+    return dlikes, (inds1, inds2)
+
+
 def find_mutations(engine, data: AlignData, seqs: list[str]) -> list[MutationInfo]:
     """Propose mutations by CUSUM of per-base likelihood differences between
     the consensus and each candidate sequence (FindMutations.cpp:24-186)."""
@@ -49,37 +84,9 @@ def find_mutations(engine, data: AlignData, seqs: list[str]) -> list[MutationInf
             engine.score_alignments(newdata, likes=reflikes)
             data.seqlikes[seq] = reflikes
 
-        # match-the-matlab -2 decrement + drop invalid leading pairs
-        # (FindMutations.cpp:51-63)
-        inds1 = pairs[:, 0].astype(np.int64) - 2
-        inds2 = pairs[:, 1].astype(np.int64) - 2
-        k = 0
-        while k < len(inds1) and (inds1[k] < 0 or inds2[k] < 0):
-            k += 1
-        inds1, inds2 = inds1[k:], inds2[k:]
-
-        alref1 = seqreflike[inds1].copy()
-        alref2 = reflikes[inds2].copy()
-        # successive differences (in place, back to front), first elt zeroed
-        alref1[1:] = alref1[1:] - alref1[:-1]
-        alref2[1:] = alref2[1:] - alref2[:-1]
-        if len(alref1):
-            alref1[0] = 0.0
-            alref2[0] = 0.0
-
-        # CUSUM clamped at zero, with exact-tie zeroing (FindMutations.cpp:83-94)
-        dlikes = np.zeros(len(alref1), dtype=np.float64)
-        cusum = 0.0
-        for j in range(len(alref1)):
-            cusum += alref2[j] - alref1[j]
-            if cusum < 0:
-                cusum = 0.0
-            dlikes[j] = cusum
-            if abs(alref1[j] - alref2[j]) < 1e-5:
-                dlikes[j] = 0.0
-
+        dlikes, als = candidate_dlikes(seqreflike, reflikes, pairs)
         alllikes.append(dlikes)
-        seqals.append((inds1, inds2))
+        seqals.append(als)
         if data.params.verbose:
             sys.stderr.write(".")
             sys.stderr.flush()
@@ -87,9 +94,13 @@ def find_mutations(engine, data: AlignData, seqs: list[str]) -> list[MutationInf
     if data.params.verbose:
         sys.stderr.write("\n")
 
-    # iterative peak extraction (FindMutations.cpp:112-183)
+    return extract_mutations(data.sequence, seqs, alllikes, seqals)
+
+
+def extract_mutations(sequence: str, seqs: list[str], alllikes, seqals):
+    """Iterative peak extraction (FindMutations.cpp:112-183)."""
     mutations: list[MutationInfo] = []
-    while len(mutations) < len(data.sequence) // 3:
+    while len(mutations) < len(sequence) // 3:
         lmax = [dl[int(np.argmax(dl))] if len(dl) else 0.0 for dl in alllikes]
         if not lmax:
             break
@@ -121,7 +132,7 @@ def find_mutations(engine, data: AlignData, seqs: list[str]) -> list[MutationInf
 
         mut = MutationInfo()
         mut.start = start1
-        mut.orig = data.sequence[start1:end1]
+        mut.orig = sequence[start1:end1]
         mut.mut = seqs[imax][start2:end2]
         # trim common prefix (advancing start) and common suffix
         while mut.orig and mut.mut and mut.orig[0] == mut.mut[0]:

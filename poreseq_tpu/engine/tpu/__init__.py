@@ -1,6 +1,14 @@
 """TPU engine backend: batched JAX/XLA banded DP, device backtrace, batched
 mutation delta-scoring.  Control flow (FindMutations / MakeMutations) is
-shared with the exact backend via engine/driver.py."""
+shared with the exact backend via engine/driver.py.
+
+All entry points run through the MULTI-REGION path: events of R regions
+(different sequences, different lengths) share one device batch, one fill
+program and one mutation-scoring kernel call — single-region calls are the
+R=1 case.  This is the TPU answer to the reference's file-split region
+parallelism (split_fasta.py): fill time is flat in the event-batch dimension
+up to E~128, so batching regions is a near-free multiplier.
+"""
 
 from __future__ import annotations
 
@@ -18,11 +26,12 @@ from ..exact.align import likes_contribution
 from ..exact.sw import map_alignments as _map_alignments
 from ...core.events import update_refs
 from .align import FILLS, FUSED, backtrace_device
-from .pack import fill_inputs, pack_events, round_up, to_device_batch
+from .pack import fill_geometry, pack_events, round_up, to_device_batch
 
 
 class TpuEngine:
-    """Drop-in engine with the same primitive surface as ExactEngine.
+    """Drop-in engine with the same primitive surface as ExactEngine, plus
+    *_multi entry points batching several regions into one device program.
 
     dtype: jnp.float32 on TPU (default); tests may use float64 on CPU to
     check against the exact oracle with tight tolerances."""
@@ -31,12 +40,13 @@ class TpuEngine:
 
     def __init__(self, dtype=None):
         self.dtype = dtype or jnp.float32
-        # one-region device-batch cache: event level/model data is constant
-        # across engine calls (only ref_align changes, which lives host-side),
-        # so the ~35 MB batch upload happens once per region
-        self._bcache = None
+        # small device-batch cache: event level/model data is constant across
+        # engine calls (only ref_align changes, which lives host-side), so
+        # the ~35 MB batch upload happens once per region set
+        self._bcache: dict = {}
+        self._bcache_order: list = []
 
-    # ---------------- core fills ----------------
+    # ---------------- packing / cache ----------------
 
     @staticmethod
     def _fingerprint(events):
@@ -46,91 +56,139 @@ class TpuEngine:
              float(ev.model.level_mean[0]))
             for ev in events)
 
-    def _prepare(self, data: AlignData):
-        states = seq_to_states(data.sequence)
-        S = len(states)
-        # keep at least one dead (all-zero) padding column past S: the
-        # mutation kernel indexes it for rab=0 (no-suffix) joins
-        S_pad = round_up(max(S, 8) + 8, 64)
-        states_pad = np.full(S_pad, -1, dtype=np.int32)
-        states_pad[:S] = states
-        states_rev_pad = np.full(S_pad, -1, dtype=np.int32)
-        states_rev_pad[:S] = states[::-1]
-
-        fp = self._fingerprint(data.events)
-        ref_indexes = [update_refs(ev.ref_align)[0] for ev in data.events]
-        if self._bcache is not None and self._bcache[0] == fp:
-            _, batch, arrays = self._bcache
+    def _batch_for(self, events, ref_indexes):
+        """Packed arrays + device batch for an event list, cached by content
+        fingerprint; `active` refreshed from the given ref_indexes."""
+        fp = self._fingerprint(events)
+        hit = self._bcache.get(fp)
+        if hit is not None:
+            batch, arrays = hit
             E_pad = len(arrays["n0"])
+            ref_indexes = list(ref_indexes)
             ref_indexes += [np.zeros(0)] * (E_pad - len(ref_indexes))
             active = np.array([len(r) > 0 for r in ref_indexes])
             if not np.array_equal(active, arrays["active"]):
                 arrays = dict(arrays, active=active)
                 batch = batch._replace(active=jnp.asarray(active))
-                self._bcache = (fp, batch, arrays)
+                self._bcache[fp] = (batch, arrays)
         else:
-            arrays, ref_indexes = pack_events(data.events)
+            arrays, ref_indexes = pack_events(events)
             batch = to_device_batch(arrays, self.dtype)
-            self._bcache = (fp, batch, arrays)
-        n0 = arrays["n0"]
-        return states, S, S_pad, states_pad, states_rev_pad, batch, arrays, ref_indexes, n0
+            self._bcache[fp] = (batch, arrays)
+            self._bcache_order.append(fp)
+            if len(self._bcache_order) > 4:
+                self._bcache.pop(self._bcache_order.pop(0), None)
+        return batch, arrays, ref_indexes
 
-    def _fill_dir(self, batch, states_pad, fi, width, lik_offset, backward):
-        """One fill direction over the shared rate-limited geometry.  The
-        backward matrix's backpointers are never read (the backtrace is
-        forward-only), so they are skipped there."""
-        fill = FILLS.get(width, self.dtype, need_steps=not backward)
-        dd = fi["bwd"] if backward else fi["fwd"]
-        res = fill(batch, jnp.asarray(states_pad), jnp.asarray(fi["i0"]),
-                   jnp.asarray(fi["i1"]), dd["win0"], dd["refills"],
-                   jnp.asarray(fi["is_pad"]), float(lik_offset), b=backward)
-        return res
+    def _prepare_multi(self, datas: list[AlignData], participate=None):
+        """Combined context for R regions: one packed batch, per-event states
+        [C, E], per-event sequence lengths, region ids, padding mask."""
+        events = [ev for d in datas for ev in d.events]
+        ref_indexes = [update_refs(ev.ref_align)[0] for ev in events]
+        batch, arrays, ref_indexes = self._batch_for(events, ref_indexes)
+        n0 = arrays["n0"]
+        E = len(n0)
+
+        ev_region = np.full(E, -1, dtype=np.int32)
+        at = 0
+        for r, d in enumerate(datas):
+            ev_region[at : at + len(d.events)] = r
+            at += len(d.events)
+
+        states_list = [seq_to_states(d.sequence) for d in datas]
+        S_list = [len(s) for s in states_list]
+        # keep at least one dead (all-zero) padding column past each S: the
+        # mutation kernel indexes it for rab=0 (no-suffix) joins
+        C = round_up(max(S_list) + 8, 64)
+        S_e = np.zeros(E, dtype=np.int64)
+        states2 = np.full((C, E), -1, dtype=np.int32)
+        for e in range(len(events)):
+            r = ev_region[e]
+            S_e[e] = S_list[r]
+            states2[: S_list[r], e] = states_list[r]
+
+        if participate is not None:
+            mask = np.array([participate[r] if r >= 0 else False
+                             for r in ev_region])
+            active = arrays["active"] & mask
+            arrays = dict(arrays, active=active)
+            batch = batch._replace(active=jnp.asarray(active))
+
+        return dict(batch=batch, arrays=arrays, ref_indexes=ref_indexes,
+                    n0=n0, E=E, ev_region=ev_region, S_list=S_list,
+                    S_e=S_e, C=C, states2=states2)
 
     # ---------------- engine primitives ----------------
 
     def score_alignments(self, data: AlignData, likes=None):
-        """ScoreAlignments: realign all events (fwd fill + backtrace), update
-        events in place, return scores, optionally accumulate likes."""
-        (states, S, S_pad, states_pad, _srp, batch, arrays, ref_indexes,
-         n0) = self._prepare(data)
-        p = data.params
-        fi = fill_inputs(arrays, ref_indexes, S, S_pad, p.realign_width)
+        return self.score_alignments_multi([data], [likes])[0]
+
+    def score_alignments_multi(self, datas: list[AlignData], likes_list=None,
+                               participate=None):
+        """ScoreAlignments for R regions in one fused fill+backtrace call:
+        realign all events (updating them in place), return per-region score
+        lists, optionally accumulate per-region per-base likes.
+
+        participate: optional [R] bools — regions marked False are skipped
+        (their events are neither scored nor updated)."""
+        if likes_list is None:
+            likes_list = [None] * len(datas)
+        if participate is None:
+            participate = [True] * len(datas)
+        ctx = self._prepare_multi(datas, participate=participate)
+        arrays, n0 = ctx["arrays"], ctx["n0"]
+        p = datas[0].params
+        fi = fill_geometry(arrays, ctx["ref_indexes"], ctx["S_e"], ctx["C"],
+                           p.realign_width)
         T = arrays["mean"].shape[1]
-        max_steps = int(S_pad + 2 * T + 8)
-        fused = FUSED.fwd(p.realign_width, self.dtype)
-        dd = fi["fwd"]
+        max_steps = int(ctx["C"] + 2 * T + 8)
+        fused = FUSED.fwd_dev(p.realign_width, self.dtype)
         res, ral, rlk = fused(
-            batch, jnp.asarray(states_pad), jnp.asarray(fi["i0"]),
-            jnp.asarray(fi["i1"]), dd["win0"], dd["refills"],
-            jnp.asarray(fi["is_pad"]), float(p.lik_offset),
-            t_pad=T, max_steps=max_steps,
+            ctx["batch"], jnp.asarray(ctx["states2"]), jnp.asarray(fi["i0"]),
+            jnp.asarray(fi["i1"]), jnp.asarray(fi["is_pad"]),
+            float(p.lik_offset), t_pad=T, max_steps=max_steps,
         )
         ral = np.asarray(ral, dtype=np.float64)
         rlk = np.asarray(rlk, dtype=np.float64)
         best = np.asarray(res.best, dtype=np.float64)
-        scores = []
-        for e, ev in enumerate(data.events):
-            n = int(n0[e])
-            if arrays["active"][e]:
-                ev.ref_align = ral[e, :n].copy()
-                ev.ref_like = rlk[e, :n].copy()
-            scores.append(float(best[e]))
-            if likes is not None:
-                likes += likes_contribution(ev.ref_align, ev.ref_like, S,
-                                            len(data.sequence))
-        return scores
+
+        out = []
+        e = 0
+        for r, data in enumerate(datas):
+            if not participate[r]:
+                e += len(data.events)
+                out.append(None)
+                continue
+            scores = []
+            S_r = ctx["S_list"][r]
+            for ev in data.events:
+                n = int(n0[e])
+                if arrays["active"][e]:
+                    ev.ref_align = ral[e, :n].copy()
+                    ev.ref_like = rlk[e, :n].copy()
+                scores.append(float(best[e]))
+                if likes_list[r] is not None:
+                    likes_list[r] += likes_contribution(
+                        ev.ref_align, ev.ref_like, S_r, len(data.sequence))
+                e += 1
+            out.append(scores)
+        return out
 
     def map_alignments(self, data: AlignData, newseq: str):
         # host-side SW remap (same numerics as the exact engine)
         return _map_alignments(data, newseq)
 
     def score_mutations(self, data: AlignData, muts):
-        from .mutscore import score_mutations_tpu
+        return self.score_mutations_multi([data], [muts])[0]
 
-        if data.params.verbose:
-            sys.stderr.write("Scoring[tpu] ({})".format(data.params.scoring_width))
-        out = score_mutations_tpu(self, data, muts)
-        if data.params.verbose:
+    def score_mutations_multi(self, datas, muts_list):
+        from .mutscore import score_mutations_multi
+
+        p = datas[0].params
+        if p.verbose:
+            sys.stderr.write("Scoring[tpu] ({})".format(p.scoring_width))
+        out = score_mutations_multi(self, datas, muts_list)
+        if p.verbose:
             sys.stderr.write("\n")
         return out
 

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dp import EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY, FillResult, make_fill
+from .dp import (EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY,
+                 FillResult, device_window_inputs, make_fill)
 
 
 def backtrace_core(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 0,
@@ -105,6 +106,46 @@ class FusedCache:
                                           r.i0, r.i1, r.best_i, r.best_j,
                                           t_pad, max_steps)
                 return r, ral, rlk
+
+            self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
+        return self._fns[key]
+
+    def fwd_dev(self, width, dtype):
+        """Like fwd(), but win0/refills built ON DEVICE from the geometry —
+        the engine path (H2D per call shrinks to the int32 band starts)."""
+        key = ("fwd_dev", width, str(dtype))
+        if key not in self._fns:
+            fill = make_fill(width, dtype, need_steps=True)
+            W = 2 * width + 1
+
+            def go(batch, states, i0, i1, is_pad, off, t_pad=0, max_steps=0):
+                w0, rf = device_window_inputs(batch, i0, False, W)
+                r = fill(batch, states, i0, i1, w0, rf, is_pad, off, False)
+                ral, rlk = backtrace_core(r.M, r.S, r.steps_m, r.steps_s,
+                                          r.i0, r.i1, r.best_i, r.best_j,
+                                          t_pad, max_steps)
+                return r, ral, rlk
+
+            self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
+        return self._fns[key]
+
+    def both_dev(self, width, dtype):
+        """fwd + bwd fills + backtrace, windows built on device."""
+        key = ("both_dev", width, str(dtype))
+        if key not in self._fns:
+            fillf = make_fill(width, dtype, need_steps=True)
+            fillb = make_fill(width, dtype, need_steps=False)
+            W = 2 * width + 1
+
+            def go(batch, states, i0, i1, is_pad, off, t_pad=0, max_steps=0):
+                w0f, rff = device_window_inputs(batch, i0, False, W)
+                w0b, rfb = device_window_inputs(batch, i0, True, W)
+                rf = fillf(batch, states, i0, i1, w0f, rff, is_pad, off, False)
+                rb = fillb(batch, states, i0, i1, w0b, rfb, is_pad, off, True)
+                ral, rlk = backtrace_core(rf.M, rf.S, rf.steps_m, rf.steps_s,
+                                          rf.i0, rf.i1, rf.best_i, rf.best_j,
+                                          t_pad, max_steps)
+                return rf, rb, ral, rlk
 
             self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
         return self._fns[key]

@@ -201,6 +201,44 @@ def shift_select2(x, s, smin: int, smax: int, out_w: int):
     return out
 
 
+def device_window_inputs(batch: EventBatch, i0, backward: bool, W: int):
+    """win0 + refill arrays for one fill direction, computed ON DEVICE from
+    the band-start geometry (i0 [E, C+1] incl. the blank col 0).
+
+    Replaces ~40 MB of host-built, host-uploaded window arrays per call with
+    one bandwidth-bound gather — through a tunnel-attached chip the H2D was
+    the dominant per-call cost (PERF.md).  Matches pack.fill_inputs exactly:
+    forward windows anchor at 0 and refill column q from the previous
+    column's window end; backward windows anchor at the frozen pad anchor and
+    refill from the column's own start."""
+    E, T = batch.mean.shape
+    if backward:
+        srcs = (batch.mean, batch.stdv, batch.lsd)
+        anchor0 = i0[:, -1].astype(jnp.int32)
+        base = i0[:, 1:].astype(jnp.int32) - 1              # [E, C] heads
+    else:
+        srcs = (batch.mean, batch.stdv, batch.lsr)
+        anchor0 = jnp.zeros((E,), jnp.int32)
+        base = i0[:, :-1].astype(jnp.int32) + (W - 1)       # [E, C] tails
+    pad_vals = (0.0, 1.0, 0.0)
+    r8 = jnp.arange(DMAX, dtype=jnp.int32)
+    rW = jnp.arange(W, dtype=jnp.int32)
+    wi = anchor0[:, None] - 1 + rW[None, :]
+    wok = (wi >= 0) & (wi < T)
+    wic = jnp.clip(wi, 0, T - 1)
+    fi = base[:, :, None] + r8[None, None, :]
+    fok = (fi >= 0) & (fi < T)
+    fic = jnp.clip(fi, 0, T - 1).reshape(E, -1)
+    win0, refills = [], []
+    for src, pv in zip(srcs, pad_vals):
+        w = jnp.take_along_axis(src, wic, axis=1)
+        win0.append(jnp.where(wok, w, jnp.asarray(pv, src.dtype)))
+        f = jnp.take_along_axis(src, fic, axis=1).reshape(E, -1, DMAX)
+        f = jnp.where(fok, f, jnp.asarray(pv, src.dtype))
+        refills.append(jnp.moveaxis(f, 0, 1))               # [C, E, DMAX]
+    return tuple(win0), tuple(refills)
+
+
 def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
     """Build the jittable banded fill for a given half-width (static).
     See the module docstring for the layout contract."""
@@ -208,22 +246,37 @@ def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
 
     def fill(batch: EventBatch, states, i0, i1, win0, refills, is_pad,
              lik_offset, backward: bool):
-        """states [C] int32 (padded with -1); i0/i1 [E, C+1] rate-limited
-        geometry (col 0 = blank covering [0, n0]; both directions share it);
-        win0: (mean, stdv, logx) [E, W] initial data windows for the scan's
-        first processed column's *previous* anchor; refills [C, E, DMAX]
+        """states [C] int32 (padded with -1) — or [C, E] for multi-region
+        batches where each event aligns to its own sequence; i0/i1 [E, C+1]
+        rate-limited geometry (col 0 = blank covering [0, n0]; both directions
+        share it); win0: (mean, stdv, logx) [E, W] initial data windows for the
+        scan's first processed column's *previous* anchor; refills [C, E, DMAX]
         per-column window tail (forward) or head (backward) values; is_pad [C]
-        marks dead padding columns (carry passes through).  Returns
-        FillResult stacked by column."""
+        (or [C, E] per-event for multi-region) marks dead padding columns
+        (carry passes through).  Returns FillResult stacked by column."""
         E, T = batch.mean.shape
         C = states.shape[0]
         NB = neg_big(dtype)
         rows = jnp.arange(W, dtype=jnp.int32)  # [W]
 
+        per_event = states.ndim == 2
+        if per_event:
+            # hoist the per-(column, event) model lookups out of the scan:
+            # one big gather each (bandwidth-bound) instead of a per-step
+            # per-event gather (latency-bound)
+            stc_t = jnp.clip(states, 0, 1023).astype(jnp.int32).T   # [E, C]
+            model_cols = tuple(
+                jnp.take_along_axis(tbl, stc_t, axis=1).T            # [C, E]
+                for tbl in (batch.lev_mean, batch.lev_stdv, batch.log_lev,
+                            batch.sd_mean, batch.sd_lambda,
+                            batch.log_lambda))
+        else:
+            model_cols = ()
+
         def body(carry, xs):
             (prevM, prevS, prev_obs, mean_w, stdv_w, lsx_w, wa, p0, p1, best,
              best_i, best_j) = carry
-            st, i0c, i1c, refind, pad, rf_mean, rf_stdv, rf_lsx = xs
+            (st, i0c, i1c, refind, pad, rf_mean, rf_stdv, rf_lsx) = xs[:8]
 
             i = i0c[:, None] + rows[None, :]          # [E, W] absolute i
             in_band = i <= i1c[:, None]
@@ -239,17 +292,22 @@ def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
             stdv_v = shift_select(stdv_w, dw, sh_w, rf_stdv)
             lsx_v = shift_select(lsx_w, dw, sh_w, rf_lsx)
 
-            stc = jnp.clip(st, 0, 1023)
-            lm = batch.lev_mean[:, stc][:, None]
-            ls = batch.lev_stdv[:, stc][:, None]
-            ll = batch.log_lev[:, stc][:, None]
-            sm = batch.sd_mean[:, stc][:, None]
-            lam = batch.sd_lambda[:, stc][:, None]
-            llam = batch.log_lambda[:, stc][:, None]
+            if per_event:
+                lm, ls, ll, sm, lam, llam = (m[:, None] for m in xs[8:14])
+                st_live = (st >= 0)[:, None]
+            else:
+                stc = jnp.clip(st, 0, 1023)
+                lm = batch.lev_mean[:, stc][:, None]
+                ls = batch.lev_stdv[:, stc][:, None]
+                ll = batch.log_lev[:, stc][:, None]
+                sm = batch.sd_mean[:, stc][:, None]
+                lam = batch.sd_lambda[:, stc][:, None]
+                llam = batch.log_lambda[:, stc][:, None]
+                st_live = st >= 0
             e = emission(mean_v, stdv_v, lsx_v, lm, ls, ll, sm, lam, llam,
                          lik_offset).astype(dtype)
             e = jnp.where(in_band, e, 0.0)
-            live = in_band & (st >= 0) & batch.active[:, None]
+            live = in_band & st_live & batch.active[:, None]
 
             # ---- previous-column reads via rolls ----
             dv = i0c - p0
@@ -357,9 +415,13 @@ def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
             best_i_n = jnp.where(better, i0c + carg, best_i)
             best_j_n = jnp.where(better, refind, best_j)
 
-            # padding columns pass the carry through untouched
+            # padding columns pass the carry through untouched (pad is scalar
+            # per column, or [E] when regions of different lengths share the
+            # batch)
+            pad_w = pad[:, None] if pad.ndim else pad
+
             def sel(new, old):
-                return jnp.where(pad, old, new)
+                return jnp.where(pad_w if new.ndim == 2 else pad, old, new)
 
             new_carry = (
                 sel(M, prevM), sel(S, prevS), sel(e_out, prev_obs),
@@ -367,8 +429,8 @@ def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
                 sel(i0c, wa), sel(i0c, p0), sel(i1c, p1),
                 sel(best_n, best), sel(best_i_n, best_i), sel(best_j_n, best_j),
             )
-            ys = (jnp.where(pad, 0.0, M), jnp.where(pad, 0.0, S), stp, sstp,
-                  sel(best_n, best))
+            ys = (jnp.where(pad_w, 0.0, M), jnp.where(pad_w, 0.0, S), stp,
+                  sstp, sel(best_n, best))
             return new_carry, ys
 
         win_mean0, win_stdv0, win_lsx0 = win0
@@ -398,7 +460,7 @@ def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
         refinds = jnp.arange(1, C + 1, dtype=jnp.int32)
         xs = (states, i0[:, 1:].T, i1[:, 1:].T, refinds, is_pad,
               jnp.asarray(rf_mean, dtype), jnp.asarray(rf_stdv, dtype),
-              jnp.asarray(rf_lsx, dtype))
+              jnp.asarray(rf_lsx, dtype)) + model_cols
         carry, (M, S, steps_m, steps_s, best_pfx) = jax.lax.scan(
             body, init, xs, reverse=backward)
         best, best_i, best_j = carry[-3], carry[-2], carry[-1]

@@ -32,7 +32,7 @@ from .align import FUSED
 from ...core.events import update_refs
 from .dp import (DMAX, emission, column_solve, neg_big, shift_select,
                  shift_select2)
-from .pack import fill_inputs, limited_geometry, round_up
+from .pack import fill_geometry, limited_geometry, round_up
 
 
 def _band_mask(anchor, n0, width):
@@ -97,12 +97,15 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
 
     @jax.jit
     def kernel(batch, Mf, Sf, Mb, Sb, i0f, i1f, i0r, i1r, bpf, bpb,
-               g_start, g_startind, s_mlen, s_nst, s_win, s_valid,
-               lik_offset, S_real):
+               ev_region, g_start, g_startind, g_S, g_region,
+               s_mlen, s_nst, s_win, s_valid, lik_offset):
         """Mf/Sf/Mb/Sb [C+1, E, W] blank-extended, indexed by forward column;
         i0f/i1f [E, C+1] realign geometry; i0r/i1r [E, C+1] scoring-band
         geometry (post-backtrace, also the window anchors); bpf/bpb [C+1, E];
-        g_* [G]; s_* [G, P(, K)].  Returns [G, P]."""
+        ev_region [E] int32 region id per event; g_* [G] (g_S = the group's
+        region sequence length-in-states, g_region its region id — events of
+        other regions are masked out of the group's delta sum); s_* [G, P(, K)].
+        Returns [G, P]."""
         C1, E, _ = Mf.shape
         Q1 = i0r.shape[1]
         Tlev = batch.mean.shape[1]
@@ -137,7 +140,7 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
                         batch.sd_mean, batch.sd_lambda, batch.log_lambda])
 
         def group(xs):
-            start, startind, mlen, nst, winst, valid = xs
+            start, startind, sS, greg, mlen, nst, winst, valid = xs
             st0 = jnp.clip(startind, 0, C1 - 1)
 
             Mw = jax.lax.dynamic_index_in_dim(Mf, st0, 0, False)   # [E, W]
@@ -240,8 +243,8 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
 
             # ---- new-score join: selected refill column (or the copied
             # column) vs the back column at rab = nst - refind_used + 1 ----
-            rab_new = jnp.clip(nst - refind_used + 1, 0, S_real)   # [P]
-            q_b = jnp.clip(S_real - rab_new + 1, 0, C1 - 1)
+            rab_new = jnp.clip(nst - refind_used + 1, 0, sS)       # [P]
+            q_b = jnp.clip(sS - rab_new + 1, 0, C1 - 1)
             BM = jnp.stack([jax.lax.dynamic_index_in_dim(Mb, q_b[t], 0, False)
                             for t in range(P)])                    # [P, E, W]
             BS = jnp.stack([jax.lax.dynamic_index_in_dim(Sb, q_b[t], 0, False)
@@ -264,7 +267,7 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
 
             # ---- old score: fwd and back columns at the SAME forward column
             # max(start-3, 1) -> exact lag-0 elementwise join ----
-            q_old = jnp.clip(jnp.maximum(start - 3, 1), 0, S_real)
+            q_old = jnp.clip(jnp.maximum(start - 3, 1), 0, sS)
             FMo = jax.lax.dynamic_index_in_dim(Mf, q_old, 0, False)
             FSo = jax.lax.dynamic_index_in_dim(Sf, q_old, 0, False)
             BMo = jax.lax.dynamic_index_in_dim(Mb, q_old, 0, False)
@@ -276,14 +279,16 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
             old = _join_lag0(FMo, FSo, fbo, BMo, BSo, bbo, okF)    # [E]
 
             delta = new - old[None]                                # [P, E]
-            ok = valid[:, None] & batch.active[None, :]
+            ok = (valid[:, None] & batch.active[None, :]
+                  & (ev_region == greg)[None, :])
             delta = jnp.where(ok, delta, 0.0)
             return jnp.sum(delta, axis=1)
 
         # GB independent groups per scan step (vmapped): amortizes the
         # per-op dispatch overhead that dominates at small shapes
         GB = 8
-        xs = (g_start, g_startind, s_mlen, s_nst, s_win, s_valid)
+        xs = (g_start, g_startind, g_S, g_region, s_mlen, s_nst, s_win,
+              s_valid)
         G = g_start.shape[0]
         xs_r = jax.tree_util.tree_map(
             lambda a: a.reshape((G // GB, GB) + a.shape[1:]), xs)
@@ -320,47 +325,44 @@ def _g_bucket(g: int) -> int:
 
 
 
-def prepare_group_inputs(sequence, muts, S, S_pad, scoring_width, arrays,
-                         ref_indexes, dtype):
-    """Host-side preparation shared by the engine and the sharded step:
-    scoring-band geometry + data windows + start-grouped mutation arrays."""
-    n0 = arrays["n0"]
-    E = len(n0)
-    T = arrays["mean"].shape[1]
-    Ws = 2 * scoring_width + 1
-    i0r_h, i1r_h = limited_geometry(ref_indexes, n0, S, S_pad, scoring_width)
-    i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
+def _mut_buckets(muts_all):
+    """Shared (K, D) compile buckets for a set of mutations."""
+    if muts_all:
+        mlens = np.array([len(m.mut) for m in muts_all], dtype=np.int64)
+        olens = np.array([len(m.orig) for m in muts_all], dtype=np.int64)
+        K_all = _k_bucket(int(mlens.max()) + 6)
+        D_all = _d_bucket(int(np.abs(mlens - olens).max()))
+    else:
+        K_all, D_all = _k_bucket(7), _d_bucket(1)
+    return K_all, D_all
 
-    n_m = len(muts)
+
+def _build_groups(sequence, muts, K_all, P=9):
+    """Start-grouped slot arrays for ONE region's mutations (unpadded along
+    the group axis).  Mutations sharing a start position share one group (the
+    reference's Refine has exactly <=9 point mutations per base)."""
     starts = np.array([m.start for m in muts], dtype=np.int64)
-    mlens = np.array([len(m.mut) for m in muts], dtype=np.int64)
-    olens = np.array([len(m.orig) for m in muts], dtype=np.int64)
     order = np.argsort(starts, kind="stable")
-
     has_bad = any(c not in "ACGT" for c in set(sequence))
-    K_all = _k_bucket(int(mlens.max()) + 6 if n_m else 7)
-    D_all = _d_bucket(int(np.abs(mlens - olens).max()) if n_m else 1)
 
     groups = []
     cur = []
     for mi in order:
-        if cur and (starts[mi] != starts[cur[0]] or len(cur) >= 9):
+        if cur and (starts[mi] != starts[cur[0]] or len(cur) >= P):
             groups.append(cur)
             cur = []
         cur.append(int(mi))
     if cur:
         groups.append(cur)
-    P = 9  # fixed slot count (one compiled variant)
     G = len(groups)
-    G_pad = _g_bucket(G)
 
-    g_start = np.zeros(G_pad, dtype=np.int32)
-    g_startind = np.zeros(G_pad, dtype=np.int32)
-    s_mlen = np.zeros((G_pad, P), dtype=np.int32)
-    s_nst = np.zeros((G_pad, P), dtype=np.int32)
-    s_win = np.full((G_pad, P, K_all), -1, dtype=np.int32)
-    s_valid = np.zeros((G_pad, P), dtype=bool)
-    s_idx = np.full((G_pad, P), -1, dtype=np.int64)
+    g_start = np.zeros(G, dtype=np.int32)
+    g_startind = np.zeros(G, dtype=np.int32)
+    s_mlen = np.zeros((G, P), dtype=np.int32)
+    s_nst = np.zeros((G, P), dtype=np.int32)
+    s_win = np.full((G, P, K_all), -1, dtype=np.int32)
+    s_valid = np.zeros((G, P), dtype=bool)
+    s_idx = np.full((G, P), -1, dtype=np.int64)
 
     for g, idxs in enumerate(groups):
         st = int(starts[idxs[0]])
@@ -381,44 +383,112 @@ def prepare_group_inputs(sequence, muts, S, S_pad, scoring_width, arrays,
             s_valid[g, t] = m.start <= len(sequence)
             s_idx[g, t] = mi
 
-    return dict(K=K_all, D=D_all, P=P, G=G, G_pad=G_pad,
-                i0r=i0r_h, i1r=i1r_h, g_start=g_start, g_startind=g_startind,
-                s_mlen=s_mlen, s_nst=s_nst, s_win=s_win, s_valid=s_valid,
-                s_idx=s_idx)
+    return dict(g_start=g_start, g_startind=g_startind, s_mlen=s_mlen,
+                s_nst=s_nst, s_win=s_win, s_valid=s_valid, s_idx=s_idx)
+
+
+def _pad_groups(parts, g_S_parts, g_region_parts, P=9):
+    """Concatenate per-region group arrays and pad the group axis to its
+    compile bucket."""
+    G = sum(p["g_start"].shape[0] for p in parts)
+    G_pad = _g_bucket(max(G, 1))
+    K_all = parts[0]["s_win"].shape[2] if parts else _k_bucket(7)
+
+    out = dict(
+        g_start=np.zeros(G_pad, dtype=np.int32),
+        g_startind=np.zeros(G_pad, dtype=np.int32),
+        g_S=np.zeros(G_pad, dtype=np.int32),
+        g_region=np.full(G_pad, -1, dtype=np.int32),
+        s_mlen=np.zeros((G_pad, P), dtype=np.int32),
+        s_nst=np.zeros((G_pad, P), dtype=np.int32),
+        s_win=np.full((G_pad, P, K_all), -1, dtype=np.int32),
+        s_valid=np.zeros((G_pad, P), dtype=bool),
+        s_idx=np.full((G_pad, P), -1, dtype=np.int64),
+        g_part=np.full(G_pad, -1, dtype=np.int32),
+    )
+    at = 0
+    for part_i, (p, gS, greg) in enumerate(zip(parts, g_S_parts,
+                                               g_region_parts)):
+        n = p["g_start"].shape[0]
+        for k in ("g_start", "g_startind", "s_mlen", "s_nst", "s_win",
+                  "s_valid", "s_idx"):
+            out[k][at : at + n] = p[k]
+        out["g_S"][at : at + n] = gS
+        out["g_region"][at : at + n] = greg
+        out["g_part"][at : at + n] = part_i
+        at += n
+    out["G"] = G
+    out["G_pad"] = G_pad
+    return out
+
+
+def prepare_group_inputs(sequence, muts, S, S_pad, scoring_width, arrays,
+                         ref_indexes, dtype):
+    """Host-side preparation shared by the engine and the sharded step:
+    scoring-band geometry + data windows + start-grouped mutation arrays.
+
+    Single-region form; multi-region batches assemble the same pieces via
+    _build_groups/_pad_groups with per-event S (see score_mutations_multi)."""
+    n0 = arrays["n0"]
+    Ws = 2 * scoring_width + 1
+    i0r_h, i1r_h = limited_geometry(ref_indexes, n0, S, S_pad, scoring_width)
+    i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
+
+    K_all, D_all = _mut_buckets(muts)
+    part = _build_groups(sequence, muts, K_all)
+    G = part["g_start"].shape[0]
+    out = _pad_groups([part], [np.full(G, S, np.int32)],
+                      [np.zeros(G, np.int32)])
+    out.update(K=K_all, D=D_all, P=9, i0r=i0r_h, i1r=i1r_h)
+    return out
 
 
 def score_mutations_tpu(engine, data: AlignData, muts):
-    """Full ScoreMutations on the TPU engine: fwd+back fills + backtrace
-    (updating events), then grouped batched delta scoring."""
-    mutscores = make_mutscores(muts)
-    if not muts or not data.events:
-        return mutscores
+    """Full ScoreMutations on the TPU engine (single-region form)."""
+    return score_mutations_multi(engine, [data], [muts])[0]
 
-    (states, S, S_pad, states_pad, _srp, batch, arrays, ref_indexes,
-     n0) = engine._prepare(data)
-    p = data.params
+
+def score_mutations_multi(engine, datas, muts_list):
+    """ScoreMutations for R regions in ONE pair of fills + ONE group-kernel
+    launch: events of all regions share the batch (per-event states and
+    geometry), mutation groups carry their region id and mask other regions'
+    events out of their delta sums.
+
+    Regions with no mutations (or no events) are skipped entirely — their
+    events are neither realigned nor updated, matching the sequential
+    single-region behavior (ScoreMutations returns early there)."""
+    mutscores_list = [make_mutscores(muts) for muts in muts_list]
+    participate = [bool(m) and bool(d.events)
+                   for d, m in zip(datas, muts_list)]
+    if not any(participate):
+        return mutscores_list
+
+    ctx = engine._prepare_multi(datas, participate=participate)
+    batch, arrays, n0 = ctx["batch"], ctx["arrays"], ctx["n0"]
+    S_e, C, ev_region = ctx["S_e"], ctx["C"], ctx["ev_region"]
+    p = datas[0].params
     W = 2 * p.realign_width + 1
     Ws = 2 * min(p.scoring_width, p.realign_width) + 1
     RS = max(p.realign_width - p.scoring_width, 0)
     dtype = engine.dtype
 
-    fi = fill_inputs(arrays, ref_indexes, S, S_pad, p.realign_width)
+    fi = fill_geometry(arrays, ctx["ref_indexes"], S_e, C, p.realign_width)
     T = arrays["mean"].shape[1]
-    fused = FUSED.both(p.realign_width, dtype)
+    fused = FUSED.both_dev(p.realign_width, dtype)
     resf, resb, ral, rlk = fused(
-        batch, jnp.asarray(states_pad), jnp.asarray(fi["i0"]),
-        jnp.asarray(fi["i1"]),
-        fi["fwd"]["win0"], fi["fwd"]["refills"],
-        fi["bwd"]["win0"], fi["bwd"]["refills"],
-        jnp.asarray(fi["is_pad"]), float(p.lik_offset),
-        t_pad=T, max_steps=int(S_pad + 2 * T + 8))
+        batch, jnp.asarray(ctx["states2"]), jnp.asarray(fi["i0"]),
+        jnp.asarray(fi["i1"]), jnp.asarray(fi["is_pad"]),
+        float(p.lik_offset), t_pad=T, max_steps=int(C + 2 * T + 8))
     ral = np.asarray(ral, dtype=np.float64)
     rlk = np.asarray(rlk, dtype=np.float64)
-    for e, ev in enumerate(data.events):
-        n = int(n0[e])
-        if arrays["active"][e]:
-            ev.ref_align = ral[e, :n].copy()
-            ev.ref_like = rlk[e, :n].copy()
+    e = 0
+    for r, data in enumerate(datas):
+        for ev in data.events:
+            if participate[r] and arrays["active"][e]:
+                n = int(n0[e])
+                ev.ref_align = ral[e, :n].copy()
+                ev.ref_like = rlk[e, :n].copy()
+            e += 1
 
     # blank-extended stacks, indexed directly by forward column q
     zero_col = jnp.zeros((1,) + resf.M.shape[1:], resf.M.dtype)
@@ -434,34 +504,52 @@ def score_mutations_tpu(engine, data: AlignData, muts):
 
     # post-backtrace scoring-band geometry (the reference recomputes band
     # centers from the refreshed ref_index, Alignment.cpp:131-132)
-    post_ris = [update_refs(ev.ref_align)[0] for ev in data.events]
+    post_ris = []
+    e = 0
+    for r, data in enumerate(datas):
+        for ev in data.events:
+            post_ris.append(update_refs(ev.ref_align)[0]
+                            if participate[r] else np.zeros(0))
+            e += 1
     post_ris += [np.zeros(0)] * (len(n0) - len(post_ris))  # inactive padding
-    gi = prepare_group_inputs(data.sequence, muts, S, S_pad, p.scoring_width,
-                              arrays, post_ris, dtype)
-    K_all, D_all, P = gi["K"], gi["D"], gi["P"]
-    G, G_pad = gi["G"], gi["G_pad"]
-    i0r_h, i1r_h = gi["i0r"], gi["i1r"]
-    g_start, g_startind = gi["g_start"], gi["g_startind"]
-    s_mlen, s_nst, s_win, s_valid, s_idx = (
-        gi["s_mlen"], gi["s_nst"], gi["s_win"], gi["s_valid"], gi["s_idx"])
-    n_m = len(muts)
+
+    all_muts = [m for r, muts in enumerate(muts_list) if participate[r]
+                for m in muts]
+    K_all, D_all = _mut_buckets(all_muts)
+    parts, g_S_parts, g_region_parts, part_region = [], [], [], []
+    for r, (data, muts) in enumerate(zip(datas, muts_list)):
+        if not participate[r]:
+            continue
+        part = _build_groups(data.sequence, muts, K_all)
+        Gr = part["g_start"].shape[0]
+        parts.append(part)
+        g_S_parts.append(np.full(Gr, ctx["S_list"][r], np.int32))
+        g_region_parts.append(np.full(Gr, r, np.int32))
+        part_region.append(r)
+    gp = _pad_groups(parts, g_S_parts, g_region_parts)
+    P = 9
+
+    i0r_h, i1r_h = limited_geometry(post_ris, n0, S_e, C, p.scoring_width)
+    i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
 
     kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype)
     totals_gp = np.asarray(kern(
         batch, Mf, Sf, Mb, Sb, i0f, i1f,
         jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,
-        jnp.asarray(g_start), jnp.asarray(g_startind),
-        jnp.asarray(s_mlen), jnp.asarray(s_nst), jnp.asarray(s_win),
-        jnp.asarray(s_valid), float(p.lik_offset), S,
+        jnp.asarray(ev_region),
+        jnp.asarray(gp["g_start"]), jnp.asarray(gp["g_startind"]),
+        jnp.asarray(gp["g_S"]), jnp.asarray(gp["g_region"]),
+        jnp.asarray(gp["s_mlen"]), jnp.asarray(gp["s_nst"]),
+        jnp.asarray(gp["s_win"]), jnp.asarray(gp["s_valid"]),
+        float(p.lik_offset),
     ), dtype=np.float64)
 
-    totals = np.full(n_m, -1e-6, dtype=np.float64)
-    for g in range(G):
+    for g in range(gp["G"]):
+        r = int(gp["g_region"][g])
+        if r < 0:
+            continue
         for t in range(P):
-            mi = s_idx[g, t]
+            mi = gp["s_idx"][g, t]
             if mi >= 0:
-                totals[mi] += totals_gp[g, t]
-
-    for ms, t in zip(mutscores, totals):
-        ms.score = float(t)
-    return mutscores
+                mutscores_list[r][mi].score += totals_gp[g, t]
+    return mutscores_list

@@ -104,6 +104,21 @@ def to_device_batch(arrays: dict, dtype) -> EventBatch:
     )
 
 
+def fill_geometry(arrays: dict, ref_indexes, S, S_pad: int, width: int):
+    """Geometry-only device inputs (i0/i1/is_pad): the engine path builds the
+    data windows ON DEVICE (dp.device_window_inputs), so per-call H2D is just
+    these int32 arrays.  S may be an int or per-event [E] array."""
+    n0 = arrays["n0"]
+    i0p, i1p = limited_geometry(ref_indexes, n0, S, S_pad, width)
+    if np.isscalar(S):
+        is_pad = np.zeros(S_pad, dtype=bool)
+        is_pad[S:] = True
+    else:
+        is_pad = (np.arange(S_pad, dtype=np.int64)[:, None]
+                  >= np.asarray(S, dtype=np.int64)[None, :])
+    return dict(i0=i0p, i1=i1p, is_pad=is_pad)
+
+
 def fill_inputs(arrays: dict, ref_indexes, S: int, S_pad: int, width: int):
     """Complete device inputs for BOTH fill directions.
 
@@ -120,9 +135,8 @@ def fill_inputs(arrays: dict, ref_indexes, S: int, S_pad: int, width: int):
     n0 = arrays["n0"]
     E = len(n0)
     W = 2 * width + 1
-    i0p, i1p = limited_geometry(ref_indexes, n0, S, S_pad, width)
-    is_pad = np.zeros(S_pad, dtype=bool)
-    is_pad[S:] = True
+    g = fill_geometry(arrays, ref_indexes, S, S_pad, width)
+    i0p, i1p, is_pad = g["i0"], g["i1"], g["is_pad"]
 
     # emission data: mean/stdv windows are shared; the inverse-Gaussian log-x
     # input is the REVERSED log_stdv forward (the reference quirk,
@@ -175,26 +189,39 @@ def fill_inputs(arrays: dict, ref_indexes, S: int, S_pad: int, width: int):
     return dict(i0=i0p, i1=i1p, is_pad=is_pad, fwd=fwd, bwd=bwd)
 
 
-def limited_geometry(ref_indexes, n0: np.ndarray, S: int, S_pad: int,
+def limited_geometry(ref_indexes, n0: np.ndarray, S, S_pad: int,
                      width: int):
     """Rate-limited band geometry padded to S_pad (+1 cols incl. blank):
     starts advance by at most DMAX per column, tops re-clipped to the
-    rectangle, padding columns frozen at the col-S anchor with empty bands."""
+    rectangle, padding columns frozen at the col-S anchor with empty bands.
+
+    S may be an int (all events share one sequence) or an [E] array of
+    per-event sequence lengths-in-states (multi-region batches): each event's
+    geometry freezes at its own column S_e."""
     from .dp import DMAX
 
     E = len(n0)
     W = 2 * width + 1
-    i0, i1 = band_geometry(ref_indexes, n0, S, width, backward=False)
-    for j in range(1, S + 1):
+    S_e = (np.full(E, S, dtype=np.int64) if np.isscalar(S)
+           else np.asarray(S, dtype=np.int64))
+    S_max = int(S_e.max()) if E else 0
+    i0, i1 = band_geometry(ref_indexes, n0, S_max, width, backward=False)
+    for j in range(1, S_max + 1):
         np.minimum(i0[:, j], i0[:, j - 1] + DMAX, out=i0[:, j])
     i1 = np.minimum(i1, i0 + (W - 1))
 
     i0p = np.zeros((E, S_pad + 1), dtype=np.int32)
     i1p = np.zeros((E, S_pad + 1), dtype=np.int32)
-    i0p[:, : S + 1] = i0
-    i1p[:, : S + 1] = i1
-    i0p[:, S + 1 :] = i0[:, S][:, None]
-    i1p[:, S + 1 :] = 0
+    i0p[:, : S_max + 1] = i0
+    i1p[:, : S_max + 1] = i1
+    i0p[:, S_max + 1 :] = i0[:, S_max][:, None]
+    i1p[:, S_max + 1 :] = 0
+    if not np.isscalar(S):
+        cols = np.arange(S_pad + 1, dtype=np.int64)[None, :]
+        beyond = cols > S_e[:, None]
+        anchor = i0p[np.arange(E), np.minimum(S_e, S_pad)]
+        i0p = np.where(beyond, anchor[:, None], i0p).astype(np.int32)
+        i1p = np.where(beyond, 0, i1p).astype(np.int32)
     return i0p, i1p
 
 

@@ -96,6 +96,127 @@ def mutate(
     return (pa.sequence, acc)
 
 
+def mutate_many(
+    fastafile: str,
+    bamfile: str,
+    fast5dir: str,
+    regions: list[str],
+    params: dict | None = None,
+    verbose: int = 0,
+    test: bool = False,
+    reps: int = 4,
+    backend: str = "tpu",
+):
+    """Lockstep consensus of SEVERAL regions: one device program per round
+    serves every region (engine/multi.py), the host control flow per region
+    is identical to mutate().  Returns [(sequence, accuracy)] per region.
+
+    This is the TPU replacement for the reference's one-job-per-region
+    cluster splitting (split_fasta.py, README.md:48-62)."""
+    from .engine.multi import mutate_datas, refine_datas
+    from .engine.types import AlignData
+
+    params = dict(params or {})
+    if "verbose" not in params:
+        params["verbose"] = 0
+    if test and verbose == 0:
+        verbose = 1
+
+    n = len(regions)
+    results: list = [None] * n
+    sessions = []          # (slot, pa, refseq)
+    for i, region in enumerate(regions):
+        # failure unit = one region, like the sequential CLI loop
+        # (cmdline.py:182-188); a failed load skips only that region
+        try:
+            pa = load_aligned_events(fastafile, bamfile, fast5dir,
+                                     RegionInfo(region), params,
+                                     backend=backend)
+        except Exception as e:
+            sys.stderr.write("Skipping {}: {}\n".format(region, str(e)))
+            continue
+        refseq = pa.sequence
+        if len(pa.events) < 5:
+            if verbose > 0:
+                sys.stderr.write("Coverage is 1 or 2, not mutating...\n")
+            results[i] = (refseq, 100)
+            continue
+        if verbose > 0:
+            sys.stderr.write("Mutating {} bases using {} events [{}]\n".format(
+                len(refseq), len(pa.events), region))
+        if test:
+            seq = ""
+            for ev in pa.events:
+                pairs = swalign(ev.sequence, refseq)[1]
+                if pairs[-1][1] - pairs[0][1] > len(seq):
+                    seq = ev.sequence[pairs[0][0] : pairs[-1][0]]
+            pa.sequence = seq
+            sys.stderr.write(
+                "Starting accuracy: "
+                + str(round(swalign(pa.sequence, refseq)[0], 1)) + "%\n")
+        sessions.append((i, pa, refseq))
+
+    if sessions:
+        engine = sessions[0][1].engine
+
+        # ---- phase 1: Mutate(reps) from the reads' own 2D basecalls ----
+        datas = [AlignData.from_session(pa) for _, pa, _ in sessions]
+        seqs_list = [[x.sequence for x in pa.events[::2]]
+                     for _, pa, _ in sessions]
+        mutate_datas(engine, datas, seqs_list, reps)
+        for (_, pa, refseq), data in zip(sessions, datas):
+            data.sync_back(pa)
+            if verbose > 0:
+                acc = swalign(pa.sequence, refseq)[0]
+                sys.stderr.write("Accuracy: " + str(round(acc, 1)) + "%\n")
+
+        # ---- phase 2: reps x (Mutate(viterbi), Refine) per live region ----
+        done = [False] * len(sessions)
+        point_width = params.get("point_width")
+        for _ in range(reps):
+            if all(done):
+                break
+            live = [not d for d in done]
+            datas = [AlignData.from_session(pa) for _, pa, _ in sessions]
+            seqs_list = [
+                engine.viterbi_mutate(datas[j].events, 16, 0.05, 0.01, 0.33,
+                                      0.75, params["verbose"])
+                if live[j] else []
+                for j in range(len(sessions))]
+            mutate_datas(engine, datas, seqs_list, reps, live=live)
+            for j, (_, pa, _) in enumerate(sessions):
+                if live[j]:
+                    datas[j].sync_back(pa)
+
+            datas = [AlignData.from_session(pa) for _, pa, _ in sessions]
+            nbases = refine_datas(engine, datas, live=live,
+                                  point_width=point_width)
+            for j, (_, pa, refseq) in enumerate(sessions):
+                if not live[j]:
+                    continue
+                datas[j].sync_back(pa)
+                if verbose > 0:
+                    acc = swalign(pa.sequence, refseq)[0]
+                    sys.stderr.write("Accuracy: " + str(round(acc, 1)) + "%\n")
+                if nbases[j] == 0:
+                    done[j] = True
+
+    for i, pa, refseq in sessions:
+        seq = pa.sequence
+        if "end_trim" in params and len(seq) > 2 * params["end_trim"]:
+            seq = seq[int(params["end_trim"]) : -int(params["end_trim"])]
+        acc, inds = swalign(seq, refseq)
+        if verbose > 0:
+            errs = np.sum(np.array(inds) == 0, 0)
+            sys.stderr.write("Final accuracy: " + str(round(acc, 1)) + "%\n")
+            sys.stderr.write("Insertions: {}, Deletions: {}\n".format(
+                errs[0], errs[1]))
+            sys.stderr.write("Final coverage: "
+                             + str(round(np.mean(pa.Coverage()), 1)) + "X\n")
+        results[i] = (seq, acc)
+    return results
+
+
 def variant(
     ref_fasta: str,
     bamfile: str,

@@ -56,10 +56,12 @@ def test_sharded_step_matches_single_device():
         tuple(padE(x, 1) for x in fi["bwd"]["refills"]),
         jnp.asarray(fi["is_pad"]),
         padE(gi["i0r"]), padE(gi["i1r"]),
+        jnp.zeros(len(arrays["n0"]), jnp.int32),
         padG(gi["g_start"]), padG(gi["g_startind"]),
+        padG(gi["g_S"]), padG(gi["g_region"]),
         padG(gi["s_mlen"]), padG(gi["s_nst"]), padG(gi["s_win"]),
         padG(gi["s_valid"]),
-        4.5, t["S"],
+        4.5,
     )
 
     mesh1 = make_mesh(n_ev=1, n_mut=1, devices=jax.devices()[:1])
