@@ -8,6 +8,7 @@ Alignment.cpp:516-624 for the backtrace).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,32 @@ import numpy as np
 
 from .dp import (EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY,
                  FillResult, device_window_inputs, make_fill)
+
+
+def _pallas_ok(dtype) -> bool:
+    """Whether the fused Pallas fill applies: f32 + a real TPU backend.
+    PSQ_PALLAS_FILL=0 forces the XLA scan fill; =1 forces Pallas (interpret
+    mode off-TPU is far too slow for production, so 'auto' requires TPU)."""
+    mode = os.environ.get("PSQ_PALLAS_FILL", "auto")
+    if mode == "0":
+        return False
+    if dtype not in (jnp.float32, "float32"):
+        return False
+    if mode == "1":
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def get_fill(width: int, dtype, need_steps: bool = True):
+    """Fill factory: fused Pallas kernel on TPU/f32, XLA scan otherwise."""
+    if _pallas_ok(dtype):
+        from .pallas_fill import make_pallas_fill
+
+        return make_pallas_fill(width, need_steps=need_steps)
+    return make_fill(width, dtype, need_steps)
 
 
 def backtrace_core(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 0,
@@ -97,7 +124,7 @@ class FusedCache:
         """fill forward + backtrace: returns (FillResult, ral, rlk)."""
         key = ("fwd", width, str(dtype))
         if key not in self._fns:
-            fill = make_fill(width, dtype, need_steps=True)
+            fill = get_fill(width, dtype, need_steps=True)
 
             def go(batch, states, i0, i1, w0, rf, is_pad, off, t_pad=0,
                    max_steps=0):
@@ -115,7 +142,7 @@ class FusedCache:
         the engine path (H2D per call shrinks to the int32 band starts)."""
         key = ("fwd_dev", width, str(dtype))
         if key not in self._fns:
-            fill = make_fill(width, dtype, need_steps=True)
+            fill = get_fill(width, dtype, need_steps=True)
             W = 2 * width + 1
 
             def go(batch, states, i0, i1, is_pad, off, t_pad=0, max_steps=0):
@@ -133,8 +160,8 @@ class FusedCache:
         """fwd + bwd fills + backtrace, windows built on device."""
         key = ("both_dev", width, str(dtype))
         if key not in self._fns:
-            fillf = make_fill(width, dtype, need_steps=True)
-            fillb = make_fill(width, dtype, need_steps=False)
+            fillf = get_fill(width, dtype, need_steps=True)
+            fillb = get_fill(width, dtype, need_steps=False)
             W = 2 * width + 1
 
             def go(batch, states, i0, i1, is_pad, off, t_pad=0, max_steps=0):
@@ -154,8 +181,8 @@ class FusedCache:
         """fwd fill + bwd fill + backtrace in one call."""
         key = ("both", width, str(dtype))
         if key not in self._fns:
-            fillf = make_fill(width, dtype, need_steps=True)
-            fillb = make_fill(width, dtype, need_steps=False)
+            fillf = get_fill(width, dtype, need_steps=True)
+            fillb = get_fill(width, dtype, need_steps=False)
 
             def go(batch, states, i0, i1, w0f, rff, w0b, rfb, is_pad, off,
                    t_pad=0, max_steps=0):
@@ -182,7 +209,7 @@ class FillCache:
     def get(self, width: int, dtype, need_steps: bool = True):
         key = (width, str(dtype), need_steps)
         if key not in self._fills:
-            fill = make_fill(width, dtype, need_steps)
+            fill = get_fill(width, dtype, need_steps)
             self._fills[key] = jax.jit(
                 lambda batch, states, i0, i1, win0, refills, is_pad, off,
                 b=False, _f=fill: _f(

@@ -1,0 +1,433 @@
+"""Fused Pallas banded pair-HMM fill (TPU).
+
+One `pallas_call` runs the whole column scan of dp.make_fill as a single
+kernel: grid=(C,) with "arbitrary" dimension semantics, the cross-column
+carry (previous column's M/S/emission and the three sliding data windows)
+living in VMEM scratch.  This removes the per-op dispatch overhead that
+bounds the XLA `lax.scan` fill (~150 ops per column; PERF.md) — all column
+math happens register/VMEM-resident in one kernel pass.
+
+Semantics are identical to dp.make_fill (reference recurrence
+/root/reference/cpp/Alignment.cpp:111-444; quirks documented in dp.py),
+relying on two geometry invariants established by pack.limited_geometry:
+
+  * padding columns are suffix-only per event, with frozen band starts
+    (window slides degenerate to shift-0) and empty bands (i1=0, so every
+    row fails the in-band test) — hence no pad special-casing is needed in
+    the kernel: pad columns naturally output zeros and write zero carries
+    that no live column ever reads;
+  * band starts advance by at most dp.DMAX per column, so every cross-column
+    data movement is a select over DMAX+1 static shifts.
+
+The running best/argmax bookkeeping is hoisted OUT of the kernel: the kernel
+emits per-column (cmax, carg) and the wrapper derives best / best_i / best_j
+/ best_pfx with cummax/argmax on [C, E] arrays (exactly the strict-> running
+update of the reference, Alignment.cpp:270).
+
+f32 only: TPU Pallas has no f64.  The f64 parity path stays on dp.make_fill.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dp import (DMAX, EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY,
+                 EventBatch, FillResult, emission, neg_big)
+
+_NB = -1e30  # f32 -inf sentinel (matches dp.neg_big for f32)
+
+
+def _shift_sel(x, d, shifts, fills=None):
+    """out[e] = x[e] shifted left by d[e] (row axis last); vacated positions
+    take fills[e, :|s|] (tail for left shifts, head for right).  Same
+    contract as dp.shift_select, traced inside the kernel."""
+    E, W = x.shape
+    out = jnp.zeros_like(x)
+    for s in shifts:
+        if s < 0:
+            head = (fills[:, : -s] if fills is not None
+                    else jnp.zeros((E, -s), x.dtype))
+            cand = jnp.concatenate([head, x[:, :s]], axis=-1)
+        elif s == 0:
+            cand = x
+        else:
+            tail = (fills[:, :s] if fills is not None
+                    else jnp.zeros((E, s), x.dtype))
+            cand = jnp.concatenate([x[:, s:], tail], axis=-1)
+        out = jnp.where((d == s)[:, None], cand, out)
+    return out
+
+
+def _mp_combine(lhs, rhs):
+    """Max-plus combine (rhs applied after lhs) for (a11,a12,a21,a22,u1,u2)."""
+    l11, l12, l21, l22, lu1, lu2 = lhs
+    r11, r12, r21, r22, ru1, ru2 = rhs
+    a11 = jnp.maximum(r11 + l11, r12 + l21)
+    a12 = jnp.maximum(r11 + l12, r12 + l22)
+    a21 = jnp.maximum(r21 + l11, r22 + l21)
+    a22 = jnp.maximum(r21 + l12, r22 + l22)
+    u1 = jnp.maximum(jnp.maximum(r11 + lu1, r12 + lu2), ru1)
+    u2 = jnp.maximum(jnp.maximum(r21 + lu1, r22 + lu2), ru2)
+    return (a11, a12, a21, a22, u1, u2)
+
+
+_ID_FILL = (0.0, _NB, _NB, 0.0, _NB, _NB)  # max-plus identity element
+
+
+def _mp_scan(elems, reverse: bool):
+    """Hillis-Steele inclusive max-plus scan over the last axis.  With
+    reverse=True the chain runs from high rows downward (element r applied
+    after the suffix r+1..)."""
+    E, W = elems[0].shape
+    d = 1
+    while d < W:
+        shifted = []
+        for arr, fv in zip(elems, _ID_FILL):
+            pad = jnp.full((E, d), fv, arr.dtype)
+            if reverse:
+                sh = jnp.concatenate([arr[:, d:], pad], axis=-1)
+            else:
+                sh = jnp.concatenate([pad, arr[:, :-d]], axis=-1)
+            shifted.append(sh)
+        elems = _mp_combine(tuple(shifted), elems)
+        d *= 2
+    return elems
+
+
+def _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, reverse):
+    NB = _NB
+    a11 = jnp.maximum(lik_insert, a_stay)
+    a12 = a_ext
+    a21 = a_stay
+    a22 = a_ext
+    a11 = jnp.where(cut, NB, a11)
+    a12 = jnp.where(cut, NB, a12)
+    a21 = jnp.where(cut, NB, a21)
+    a22 = jnp.where(cut, NB, a22)
+    res = _mp_scan((a11, a12, a21, a22, D, floor0), reverse)
+    return res[4], res[5]
+
+
+SH_FWD = tuple(range(0, DMAX + 1))
+SH_FWD_M1 = tuple(range(-1, DMAX))
+SH_BWD = tuple(range(-DMAX, 1))
+SH_BWD_P1 = tuple(range(-DMAX + 1, 2))
+
+
+def _kernel(backward: bool, need_steps: bool, W: int,
+            # inputs (refs)
+            st_ref, live_ref, i0p_ref, i1p_ref, i0c_ref, i1c_ref,
+            lm_ref, ls_ref, ll_ref, sm_ref, lam_ref, llam_ref,
+            rfm_ref, rfs_ref, rfl_ref,
+            w0m_ref, w0s_ref, w0l_ref, lik4_ref,
+            # outputs
+            *out_and_scratch):
+    if need_steps:
+        (M_out, S_out, stm_out, sts_out, cmax_out, carg_out,
+         prevM, prevS, prevO, win_m, win_s, win_l) = out_and_scratch
+    else:
+        (M_out, S_out, cmax_out, carg_out,
+         prevM, prevS, prevO, win_m, win_s, win_l) = out_and_scratch
+
+    c = pl.program_id(0)
+    E = prevM.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)      # [1, W]
+
+    @pl.when(c == 0)
+    def _init():
+        z = jnp.zeros((E, W), jnp.float32)
+        prevM[:] = z
+        prevS[:] = z
+        prevO[:] = z
+        win_m[:] = w0m_ref[:]
+        win_s[:] = w0s_ref[:]
+        win_l[:] = w0l_ref[:]
+
+    i0c = i0c_ref[0, :]                                        # [E]
+    i1c = i1c_ref[0, :]
+    p0 = i0p_ref[0, :]
+    p1 = i1p_ref[0, :]
+    i = i0c[:, None] + rows                                    # [E, W]
+    in_band = i <= i1c[:, None]
+
+    # ---- slide the data windows (anchor prev i0 -> i0c) ----
+    dw = i0c - p0
+    sh_w = SH_BWD if backward else SH_FWD
+    dw = jnp.clip(dw, sh_w[0], sh_w[-1])
+    mean_v = _shift_sel(win_m[:], dw, sh_w, rfm_ref[0])
+    stdv_v = _shift_sel(win_s[:], dw, sh_w, rfs_ref[0])
+    lsx_v = _shift_sel(win_l[:], dw, sh_w, rfl_ref[0])
+
+    lm = lm_ref[0, :][:, None]
+    ls = ls_ref[0, :][:, None]
+    ll = ll_ref[0, :][:, None]          # pre-folded with -lik_offset
+    sm = sm_ref[0, :][:, None]
+    lam = lam_ref[0, :][:, None]
+    llam = llam_ref[0, :][:, None]
+    e = emission(mean_v, stdv_v, lsx_v, lm, ls, ll, sm, lam, llam, 0.0)
+    e = jnp.where(in_band, e, 0.0)
+    live = in_band & (live_ref[0, :] > 0.5)[:, None]
+
+    # ---- previous-column reads via static rolls ----
+    lik_skip = lik4_ref[0, :][:, None]
+    lik_stay = lik4_ref[1, :][:, None]
+    lik_extend = lik4_ref[2, :][:, None]
+    lik_insert = lik4_ref[3, :][:, None]
+    dv = i0c - p0
+
+    valid_i = (i >= p0[:, None]) & (i <= p1[:, None])
+    pM = prevM[:]
+    pO = prevO[:]
+    if backward:
+        pm_i = _shift_sel(pM, jnp.clip(dv, -DMAX, 0), SH_BWD)
+        pm_d = _shift_sel(pM, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1)
+        pobs_d = _shift_sel(pO, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1)
+        valid_ul = (i >= p0[:, None]) & (i < p1[:, None])
+        match_c = jnp.where(valid_ul, pm_d + pobs_d, 0.0)
+    else:
+        pm_i = _shift_sel(pM, jnp.clip(dv, 0, DMAX), SH_FWD)
+        pm_d = _shift_sel(pM, jnp.clip(dv - 1, -1, DMAX - 1), SH_FWD_M1)
+        valid_ul = (i > p0[:, None]) & (i <= p1[:, None])
+        match_c = jnp.where(valid_ul, pm_d, 0.0) + e
+
+    skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_skip
+    ignore_c = jnp.where(valid_ul, pm_d + lik_insert, 0.0)
+    D = jnp.maximum(jnp.maximum(0.0, skip_c), jnp.maximum(match_c, ignore_c))
+
+    if backward:
+        e_src = jnp.concatenate([e[:, 1:], jnp.zeros((E, 1), jnp.float32)],
+                                axis=1)
+        cut = i >= i1c[:, None]
+        floor0 = jnp.where(i == i1c[:, None], _NB, 0.0)
+    else:
+        e_src = e
+        cut = rows == 0
+        floor0 = jnp.where(cut, _NB, jnp.zeros_like(D))
+    a_stay = e_src + lik_stay
+    a_ext = e_src + lik_extend
+
+    M, S = _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, backward)
+
+    M = jnp.where(live, M, 0.0)
+    S = jnp.where(live, S, 0.0)
+    e_out = jnp.where(live, e, 0.0)
+
+    if need_steps:
+        Mm1 = jnp.concatenate([jnp.zeros((E, 1), jnp.float32), M[:, :-1]],
+                              axis=1)
+        Sm1 = jnp.concatenate([jnp.zeros((E, 1), jnp.float32), S[:, :-1]],
+                              axis=1)
+        nfirst = rows > 0
+        ins_c = jnp.where(nfirst, Mm1 + lik_insert, 0.0)
+        s4 = jnp.where(nfirst, Mm1 + e_src + lik_stay, _NB)
+        s5 = jnp.where(nfirst, Sm1 + e_src + lik_extend, _NB)
+
+        val = jnp.zeros_like(M)
+        stp = jnp.zeros(M.shape, jnp.uint8)
+        bp0 = jnp.where(valid_i, jnp.uint8(SKIP), jnp.uint8(IMPLICIT))
+        upd = skip_c > val
+        val = jnp.where(upd, skip_c, val)
+        stp = jnp.where(upd, bp0, stp)
+        bp1 = jnp.where(valid_ul, jnp.uint8(MATCH), jnp.uint8(IMPLICIT))
+        upd = match_c > val
+        val = jnp.where(upd, match_c, val)
+        stp = jnp.where(upd, bp1, stp)
+        upd = ins_c > val
+        val = jnp.where(upd, ins_c, val)
+        stp = jnp.where(upd, jnp.uint8(INSERT), stp)
+        upd = ignore_c > val
+        val = jnp.where(upd, ignore_c, val)
+        stp = jnp.where(upd, jnp.uint8(IGNORE), stp)
+        upd = S > val
+        stp = jnp.where(upd, jnp.uint8(STAY), stp)
+
+        sval = jnp.where(rows == 0, _NB, jnp.zeros_like(M))
+        sstp = jnp.zeros(M.shape, jnp.uint8)
+        upd = s4 > sval
+        sval = jnp.where(upd, s4, sval)
+        sstp = jnp.where(upd, jnp.uint8(STAY), sstp)
+        upd = s5 > sval
+        sstp = jnp.where(upd, jnp.uint8(EXTEND), sstp)
+
+        stm_out[0] = jnp.where(live, stp, 0)
+        sts_out[0] = jnp.where(live, sstp, 0)
+
+    # per-column max + first argmax (strict-> semantics resolved outside)
+    Mmask = jnp.where(live, M, _NB)
+    cmax = jnp.max(Mmask, axis=1)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (E, W), 1)
+    carg = jnp.min(jnp.where(Mmask >= cmax[:, None], rid, W), axis=1)
+    cmax_out[0, :] = cmax
+    carg_out[0, :] = carg
+
+    M_out[0] = M
+    S_out[0] = S
+    prevM[:] = M
+    prevS[:] = S
+    prevO[:] = e_out
+    win_m[:] = mean_v
+    win_s[:] = stdv_v
+    win_l[:] = lsx_v
+
+
+def make_pallas_fill(width: int, need_steps: bool = True,
+                     interpret: bool = False):
+    """Drop-in replacement for dp.make_fill(width, jnp.float32, need_steps):
+    returns fill(batch, states, i0, i1, win0, refills, is_pad, lik_offset,
+    backward) -> FillResult, computed by one fused Pallas kernel."""
+    W = 2 * width + 1
+
+    def fill(batch: EventBatch, states, i0, i1, win0, refills, is_pad,
+             lik_offset, backward: bool):
+        E, T = batch.mean.shape
+        C = states.shape[0]
+        f32 = jnp.float32
+
+        # --- normalize per-column inputs to [C, E] ---
+        if states.ndim == 1:
+            states_ce = jnp.broadcast_to(states[:, None], (C, E))
+        else:
+            states_ce = states
+        if is_pad.ndim == 1:
+            pad_ce = jnp.broadcast_to(is_pad[:, None], (C, E))
+        else:
+            pad_ce = is_pad
+        live_col = ((states_ce >= 0) & (~pad_ce)
+                    & batch.active[None, :]).astype(f32)
+
+        # model lookups hoisted out of the kernel: one [C, E] gather per table
+        stc_t = jnp.clip(states_ce, 0, 1023).astype(jnp.int32).T   # [E, C]
+        g = lambda tbl: jnp.take_along_axis(
+            tbl.astype(f32), stc_t, axis=1).T                       # [C, E]
+        lm_g, ls_g, ll_g, sm_g, lam_g, llam_g = (
+            g(batch.lev_mean), g(batch.lev_stdv), g(batch.log_lev),
+            g(batch.sd_mean), g(batch.sd_lambda), g(batch.log_lambda))
+        ll_g = ll_g - jnp.asarray(lik_offset, f32)  # fold +lik_offset into -ll
+
+        # band-start/top rows for (prev, cur): [C+2, E] with the virtual
+        # blank column appended for the backward direction's first step
+        i0T = i0.astype(jnp.int32).T                                # [C+1, E]
+        i1T = i1.astype(jnp.int32).T
+        zrow = jnp.zeros((1, E), jnp.int32)
+        nrow = batch.n0.astype(jnp.int32)[None, :]
+        i0B = jnp.concatenate([i0T, zrow], axis=0)                  # [C+2, E]
+        i1B = jnp.concatenate([i1T, nrow], axis=0)
+
+        w0m, w0s, w0l = (jnp.asarray(w, f32) for w in win0)
+        rfm, rfs, rfl = (jnp.asarray(r, f32) for r in refills)
+        lik4 = jnp.stack([batch.lik_skip, batch.lik_stay,
+                          batch.lik_extend, batch.lik_insert]).astype(f32)
+
+        if backward:
+            col = lambda c: (C - 1 - c, 0)      # column q=C-c -> row q-1
+            cur = lambda c: (C - c, 0)          # i0B row q
+            prv = lambda c: (C - c + 1, 0)      # i0B row q+1 (blank at c=0)
+        else:
+            col = lambda c: (c, 0)
+            cur = lambda c: (c + 1, 0)
+            prv = lambda c: (c, 0)
+        col3 = (lambda c: (C - 1 - c, 0, 0)) if backward else \
+               (lambda c: (c, 0, 0))
+        const2 = lambda c: (0, 0)
+
+        vm = pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((1, E), col, memory_space=vm),       # states (unused
+            #   in kernel math beyond live; kept for clarity/debug)
+            pl.BlockSpec((1, E), col, memory_space=vm),       # live
+            pl.BlockSpec((1, E), prv, memory_space=vm),       # i0 prev
+            pl.BlockSpec((1, E), prv, memory_space=vm),       # i1 prev
+            pl.BlockSpec((1, E), cur, memory_space=vm),       # i0 cur
+            pl.BlockSpec((1, E), cur, memory_space=vm),       # i1 cur
+            pl.BlockSpec((1, E), col, memory_space=vm),       # lm
+            pl.BlockSpec((1, E), col, memory_space=vm),       # ls
+            pl.BlockSpec((1, E), col, memory_space=vm),       # ll
+            pl.BlockSpec((1, E), col, memory_space=vm),       # sm
+            pl.BlockSpec((1, E), col, memory_space=vm),       # lam
+            pl.BlockSpec((1, E), col, memory_space=vm),       # llam
+            pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill mean
+            pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill stdv
+            pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill lsx
+            pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 mean
+            pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 stdv
+            pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 lsx
+            pl.BlockSpec((4, E), const2, memory_space=vm),    # lik4
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((C, E, W), f32),             # M
+            jax.ShapeDtypeStruct((C, E, W), f32),             # S
+        ]
+        out_specs = [
+            pl.BlockSpec((1, E, W), col3, memory_space=vm),
+            pl.BlockSpec((1, E, W), col3, memory_space=vm),
+        ]
+        if need_steps:
+            out_shapes += [
+                jax.ShapeDtypeStruct((C, E, W), jnp.uint8),
+                jax.ShapeDtypeStruct((C, E, W), jnp.uint8),
+            ]
+            out_specs += [
+                pl.BlockSpec((1, E, W), col3, memory_space=vm),
+                pl.BlockSpec((1, E, W), col3, memory_space=vm),
+            ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((C, E), f32),                # cmax
+            jax.ShapeDtypeStruct((C, E), jnp.int32),          # carg
+        ]
+        out_specs += [
+            pl.BlockSpec((1, E), col, memory_space=vm),
+            pl.BlockSpec((1, E), col, memory_space=vm),
+        ]
+
+        kern = functools.partial(_kernel, backward, need_steps, W)
+        outs = pl.pallas_call(
+            kern,
+            grid=(C,),
+            in_specs=in_specs,
+            out_shape=out_shapes,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((E, W), f32) for _ in range(6)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(states_ce.astype(jnp.int32), live_col,
+          i0B, i1B, i0B, i1B,
+          lm_g, ls_g, ll_g, sm_g, lam_g, llam_g,
+          rfm, rfs, rfl, w0m, w0s, w0l, lik4)
+
+        if need_steps:
+            M, S, steps_m, steps_s, cmax, carg = outs
+        else:
+            M, S, cmax, carg = outs
+            steps_m = jnp.zeros((C, E, 0), jnp.uint8)
+            steps_s = jnp.zeros((C, E, 0), jnp.uint8)
+
+        # --- running best bookkeeping (strict >, processing order) ---
+        if backward:
+            pfx = jax.lax.cummax(cmax, axis=0, reverse=True)
+        else:
+            pfx = jax.lax.cummax(cmax, axis=0)
+        best_pfx = jnp.maximum(pfx, 0.0)
+        best = best_pfx[0] if backward else best_pfx[-1]
+        hit = (cmax >= best[None, :]) & (best[None, :] > 0.0)
+        if backward:
+            c_star = (C - 1) - jnp.argmax(hit[::-1], axis=0)
+        else:
+            c_star = jnp.argmax(hit, axis=0)
+        any_hit = jnp.any(hit, axis=0)
+        ev = jnp.arange(E)
+        carg_star = carg[c_star, ev]
+        i0_star = i0.astype(jnp.int32)[ev, c_star + 1]
+        best_i = jnp.where(any_hit, i0_star + carg_star, 0)
+        best_j = jnp.where(any_hit, c_star + 1, 0).astype(jnp.int32)
+
+        return FillResult(M, S, steps_m, steps_s, i0, i1, best, best_i,
+                          best_j, best_pfx)
+
+    return fill
