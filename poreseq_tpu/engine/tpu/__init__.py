@@ -39,6 +39,9 @@ class TpuEngine:
     name = "tpu"
 
     def __init__(self, dtype=None):
+        from ...jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.dtype = dtype or jnp.float32
         # small device-batch cache: event level/model data is constant across
         # engine calls (only ref_align changes, which lives host-side), so

@@ -19,20 +19,16 @@ from .dp import (EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY,
 
 
 def _pallas_ok(dtype) -> bool:
-    """Whether the fused Pallas fill applies: f32 + a real TPU backend.
-    PSQ_PALLAS_FILL=0 forces the XLA scan fill; =1 forces Pallas (interpret
-    mode off-TPU is far too slow for production, so 'auto' requires TPU)."""
-    mode = os.environ.get("PSQ_PALLAS_FILL", "auto")
-    if mode == "0":
+    """Whether the fused Pallas fill applies: f32 + PSQ_PALLAS_FILL=1.
+    Opt-in until the kernel passes hardware validation: the Mosaic lowering
+    on this platform (jax 0.9 / v5e) aborts on the current kernel (see
+    scripts/bench_pallas_fill.py), and 'auto' here would take the whole TPU
+    engine down with it.  The XLA scan fill (dp.make_fill) is the production
+    path."""
+    mode = os.environ.get("PSQ_PALLAS_FILL", "0")
+    if mode != "1":
         return False
-    if dtype not in (jnp.float32, "float32"):
-        return False
-    if mode == "1":
-        return True
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return dtype in (jnp.float32, "float32")
 
 
 def get_fill(width: int, dtype, need_steps: bool = True):

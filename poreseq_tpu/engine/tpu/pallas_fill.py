@@ -46,7 +46,8 @@ _NB = -1e30  # f32 -inf sentinel (matches dp.neg_big for f32)
 def _shift_sel(x, d, shifts, fills=None):
     """out[e] = x[e] shifted left by d[e] (row axis last); vacated positions
     take fills[e, :|s|] (tail for left shifts, head for right).  Same
-    contract as dp.shift_select, traced inside the kernel."""
+    contract as dp.shift_select, traced inside the kernel.  `d` is [E, 1]
+    (Mosaic cannot relayout 1-D vectors to 2-D, so everything stays 2-D)."""
     E, W = x.shape
     out = jnp.zeros_like(x)
     for s in shifts:
@@ -60,7 +61,7 @@ def _shift_sel(x, d, shifts, fills=None):
             tail = (fills[:, :s] if fills is not None
                     else jnp.zeros((E, s), x.dtype))
             cand = jnp.concatenate([x[:, s:], tail], axis=-1)
-        out = jnp.where((d == s)[:, None], cand, out)
+        out = jnp.where(d == s, cand, out)
     return out
 
 
@@ -121,7 +122,10 @@ SH_BWD_P1 = tuple(range(-DMAX + 1, 2))
 
 
 def _kernel(backward: bool, need_steps: bool, W: int,
-            # inputs (refs)
+            # inputs (refs); per-column [C, E, 1] arrays are blocked (1, E, 1)
+            # so reads are natively [E, 1] 2-D vectors — Mosaic can neither
+            # take (1, E) blocks (trailing-dims tiling rule) nor relayout a
+            # 1-D vector to [E, 1]
             st_ref, live_ref, i0p_ref, i1p_ref, i0c_ref, i1c_ref,
             lm_ref, ls_ref, ll_ref, sm_ref, lam_ref, llam_ref,
             rfm_ref, rfs_ref, rfl_ref,
@@ -149,51 +153,51 @@ def _kernel(backward: bool, need_steps: bool, W: int,
         win_s[:] = w0s_ref[:]
         win_l[:] = w0l_ref[:]
 
-    i0c = i0c_ref[0, :]                                        # [E]
-    i1c = i1c_ref[0, :]
-    p0 = i0p_ref[0, :]
-    p1 = i1p_ref[0, :]
-    i = i0c[:, None] + rows                                    # [E, W]
-    in_band = i <= i1c[:, None]
+    i0c = i0c_ref[0]                                           # [E, 1]
+    i1c = i1c_ref[0]
+    p0 = i0p_ref[0]
+    p1 = i1p_ref[0]
+    i = i0c + rows                                             # [E, W]
+    in_band = i <= i1c
 
     # ---- slide the data windows (anchor prev i0 -> i0c) ----
-    dw = i0c - p0
+    dw = i0c - p0                                              # [E, 1]
     sh_w = SH_BWD if backward else SH_FWD
     dw = jnp.clip(dw, sh_w[0], sh_w[-1])
     mean_v = _shift_sel(win_m[:], dw, sh_w, rfm_ref[0])
     stdv_v = _shift_sel(win_s[:], dw, sh_w, rfs_ref[0])
     lsx_v = _shift_sel(win_l[:], dw, sh_w, rfl_ref[0])
 
-    lm = lm_ref[0, :][:, None]
-    ls = ls_ref[0, :][:, None]
-    ll = ll_ref[0, :][:, None]          # pre-folded with -lik_offset
-    sm = sm_ref[0, :][:, None]
-    lam = lam_ref[0, :][:, None]
-    llam = llam_ref[0, :][:, None]
+    lm = lm_ref[0]                                             # [E, 1]
+    ls = ls_ref[0]
+    ll = ll_ref[0]                      # pre-folded with -lik_offset
+    sm = sm_ref[0]
+    lam = lam_ref[0]
+    llam = llam_ref[0]
     e = emission(mean_v, stdv_v, lsx_v, lm, ls, ll, sm, lam, llam, 0.0)
     e = jnp.where(in_band, e, 0.0)
-    live = in_band & (live_ref[0, :] > 0.5)[:, None]
+    live = in_band & (live_ref[0] > 0.5)
 
     # ---- previous-column reads via static rolls ----
-    lik_skip = lik4_ref[0, :][:, None]
-    lik_stay = lik4_ref[1, :][:, None]
-    lik_extend = lik4_ref[2, :][:, None]
-    lik_insert = lik4_ref[3, :][:, None]
+    lik_skip = lik4_ref[0]                                     # [E, 1]
+    lik_stay = lik4_ref[1]
+    lik_extend = lik4_ref[2]
+    lik_insert = lik4_ref[3]
     dv = i0c - p0
 
-    valid_i = (i >= p0[:, None]) & (i <= p1[:, None])
+    valid_i = (i >= p0) & (i <= p1)
     pM = prevM[:]
     pO = prevO[:]
     if backward:
         pm_i = _shift_sel(pM, jnp.clip(dv, -DMAX, 0), SH_BWD)
         pm_d = _shift_sel(pM, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1)
         pobs_d = _shift_sel(pO, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1)
-        valid_ul = (i >= p0[:, None]) & (i < p1[:, None])
+        valid_ul = (i >= p0) & (i < p1)
         match_c = jnp.where(valid_ul, pm_d + pobs_d, 0.0)
     else:
         pm_i = _shift_sel(pM, jnp.clip(dv, 0, DMAX), SH_FWD)
         pm_d = _shift_sel(pM, jnp.clip(dv - 1, -1, DMAX - 1), SH_FWD_M1)
-        valid_ul = (i > p0[:, None]) & (i <= p1[:, None])
+        valid_ul = (i > p0) & (i <= p1)
         match_c = jnp.where(valid_ul, pm_d, 0.0) + e
 
     skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_skip
@@ -203,8 +207,8 @@ def _kernel(backward: bool, need_steps: bool, W: int,
     if backward:
         e_src = jnp.concatenate([e[:, 1:], jnp.zeros((E, 1), jnp.float32)],
                                 axis=1)
-        cut = i >= i1c[:, None]
-        floor0 = jnp.where(i == i1c[:, None], _NB, 0.0)
+        cut = i >= i1c
+        floor0 = jnp.where(i == i1c, _NB, 0.0)
     else:
         e_src = e
         cut = rows == 0
@@ -260,11 +264,12 @@ def _kernel(backward: bool, need_steps: bool, W: int,
 
     # per-column max + first argmax (strict-> semantics resolved outside)
     Mmask = jnp.where(live, M, _NB)
-    cmax = jnp.max(Mmask, axis=1)
+    cmax = jnp.max(Mmask, axis=1, keepdims=True)               # [E, 1]
     rid = jax.lax.broadcasted_iota(jnp.int32, (E, W), 1)
-    carg = jnp.min(jnp.where(Mmask >= cmax[:, None], rid, W), axis=1)
-    cmax_out[0, :] = cmax
-    carg_out[0, :] = carg
+    carg = jnp.min(jnp.where(Mmask >= cmax, rid, W), axis=1,
+                   keepdims=True)                              # [E, 1]
+    cmax_out[0] = cmax
+    carg_out[0] = carg
 
     M_out[0] = M
     S_out[0] = S
@@ -310,54 +315,60 @@ def make_pallas_fill(width: int, need_steps: bool = True,
             g(batch.sd_mean), g(batch.sd_lambda), g(batch.log_lambda))
         ll_g = ll_g - jnp.asarray(lik_offset, f32)  # fold +lik_offset into -ll
 
-        # band-start/top rows for (prev, cur): [C+2, E] with the virtual
-        # blank column appended for the backward direction's first step
+        # band-start/top rows for (prev, cur): [C+2, E, 1] with the virtual
+        # blank column appended for the backward direction's first step.
+        # Per-column arrays carry a trailing singleton axis so their
+        # (1, E, 1) blocks satisfy Mosaic's trailing-dims rule AND kernel
+        # reads are natively [E, 1] (no 1-D->2-D vector relayouts, which
+        # Mosaic cannot lower).
         i0T = i0.astype(jnp.int32).T                                # [C+1, E]
         i1T = i1.astype(jnp.int32).T
         zrow = jnp.zeros((1, E), jnp.int32)
         nrow = batch.n0.astype(jnp.int32)[None, :]
-        i0B = jnp.concatenate([i0T, zrow], axis=0)                  # [C+2, E]
-        i1B = jnp.concatenate([i1T, nrow], axis=0)
+        i0B = jnp.concatenate([i0T, zrow], axis=0)[:, :, None]     # [C+2,E,1]
+        i1B = jnp.concatenate([i1T, nrow], axis=0)[:, :, None]
 
         w0m, w0s, w0l = (jnp.asarray(w, f32) for w in win0)
         rfm, rfs, rfl = (jnp.asarray(r, f32) for r in refills)
         lik4 = jnp.stack([batch.lik_skip, batch.lik_stay,
-                          batch.lik_extend, batch.lik_insert]).astype(f32)
+                          batch.lik_extend,
+                          batch.lik_insert]).astype(f32)[:, :, None]
 
         if backward:
-            col = lambda c: (C - 1 - c, 0)      # column q=C-c -> row q-1
-            cur = lambda c: (C - c, 0)          # i0B row q
-            prv = lambda c: (C - c + 1, 0)      # i0B row q+1 (blank at c=0)
+            col = lambda c: (C - 1 - c, 0, 0)   # column q=C-c -> row q-1
+            cur = lambda c: (C - c, 0, 0)       # i0B row q
+            prv = lambda c: (C - c + 1, 0, 0)   # i0B row q+1 (blank at c=0)
         else:
-            col = lambda c: (c, 0)
-            cur = lambda c: (c + 1, 0)
-            prv = lambda c: (c, 0)
-        col3 = (lambda c: (C - 1 - c, 0, 0)) if backward else \
-               (lambda c: (c, 0, 0))
+            col = lambda c: (c, 0, 0)
+            cur = lambda c: (c + 1, 0, 0)
+            prv = lambda c: (c, 0, 0)
+        col3 = col
         const2 = lambda c: (0, 0)
+        const3 = lambda c: (0, 0, 0)
 
         vm = pltpu.VMEM
+        cspec = pl.BlockSpec((1, E, 1), col, memory_space=vm)
         in_specs = [
-            pl.BlockSpec((1, E), col, memory_space=vm),       # states (unused
+            cspec,                                            # states (unused
             #   in kernel math beyond live; kept for clarity/debug)
-            pl.BlockSpec((1, E), col, memory_space=vm),       # live
-            pl.BlockSpec((1, E), prv, memory_space=vm),       # i0 prev
-            pl.BlockSpec((1, E), prv, memory_space=vm),       # i1 prev
-            pl.BlockSpec((1, E), cur, memory_space=vm),       # i0 cur
-            pl.BlockSpec((1, E), cur, memory_space=vm),       # i1 cur
-            pl.BlockSpec((1, E), col, memory_space=vm),       # lm
-            pl.BlockSpec((1, E), col, memory_space=vm),       # ls
-            pl.BlockSpec((1, E), col, memory_space=vm),       # ll
-            pl.BlockSpec((1, E), col, memory_space=vm),       # sm
-            pl.BlockSpec((1, E), col, memory_space=vm),       # lam
-            pl.BlockSpec((1, E), col, memory_space=vm),       # llam
+            cspec,                                            # live
+            pl.BlockSpec((1, E, 1), prv, memory_space=vm),    # i0 prev
+            pl.BlockSpec((1, E, 1), prv, memory_space=vm),    # i1 prev
+            pl.BlockSpec((1, E, 1), cur, memory_space=vm),    # i0 cur
+            pl.BlockSpec((1, E, 1), cur, memory_space=vm),    # i1 cur
+            cspec,                                            # lm
+            cspec,                                            # ls
+            cspec,                                            # ll
+            cspec,                                            # sm
+            cspec,                                            # lam
+            cspec,                                            # llam
             pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill mean
             pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill stdv
             pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill lsx
             pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 mean
             pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 stdv
             pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 lsx
-            pl.BlockSpec((4, E), const2, memory_space=vm),    # lik4
+            pl.BlockSpec((4, E, 1), const3, memory_space=vm),  # lik4
         ]
         out_shapes = [
             jax.ShapeDtypeStruct((C, E, W), f32),             # M
@@ -377,13 +388,16 @@ def make_pallas_fill(width: int, need_steps: bool = True,
                 pl.BlockSpec((1, E, W), col3, memory_space=vm),
             ]
         out_shapes += [
-            jax.ShapeDtypeStruct((C, E), f32),                # cmax
-            jax.ShapeDtypeStruct((C, E), jnp.int32),          # carg
+            jax.ShapeDtypeStruct((C, E, 1), f32),             # cmax
+            jax.ShapeDtypeStruct((C, E, 1), jnp.int32),       # carg
         ]
         out_specs += [
-            pl.BlockSpec((1, E), col, memory_space=vm),
-            pl.BlockSpec((1, E), col, memory_space=vm),
+            pl.BlockSpec((1, E, 1), col, memory_space=vm),
+            pl.BlockSpec((1, E, 1), col, memory_space=vm),
         ]
+
+        def c3(x):
+            return x[:, :, None]        # [C, E] -> [C, E, 1]
 
         kern = functools.partial(_kernel, backward, need_steps, W)
         outs = pl.pallas_call(
@@ -396,9 +410,9 @@ def make_pallas_fill(width: int, need_steps: bool = True,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(states_ce.astype(jnp.int32), live_col,
+        )(c3(states_ce.astype(jnp.int32)), c3(live_col),
           i0B, i1B, i0B, i1B,
-          lm_g, ls_g, ll_g, sm_g, lam_g, llam_g,
+          c3(lm_g), c3(ls_g), c3(ll_g), c3(sm_g), c3(lam_g), c3(llam_g),
           rfm, rfs, rfl, w0m, w0s, w0l, lik4)
 
         if need_steps:
@@ -407,6 +421,8 @@ def make_pallas_fill(width: int, need_steps: bool = True,
             M, S, cmax, carg = outs
             steps_m = jnp.zeros((C, E, 0), jnp.uint8)
             steps_s = jnp.zeros((C, E, 0), jnp.uint8)
+        cmax = cmax[:, :, 0]
+        carg = carg[:, :, 0]
 
         # --- running best bookkeeping (strict >, processing order) ---
         if backward:
