@@ -43,24 +43,43 @@ from .dp import (DMAX, EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY,
 _NB = -1e30  # f32 -inf sentinel (matches dp.neg_big for f32)
 
 
-def _shift_sel(x, d, shifts, fills=None):
+# All lane-axis data movement inside the kernel is expressed as full-width
+# rotates (tpu.RotateOp via pltpu.roll) + masked selects against the `rows`
+# iota.  Slice/concatenate shift idioms (x[:, s:] ++ fill) make Mosaic's
+# ApplyVectorLayout emit vector.extract_strided_slice ops that CHECK-fail
+# ("limits[i] <= dim(i)") once the sublane dim spans multiple vregs (E>=16),
+# so the kernel contains no strided slices at all.
+
+
+def _shl(x, s, rows, fill):
+    """Lane left-shift by static s>0; vacated tail lanes w>=W-s take
+    fill[w-(W-s)] (fill is full-width with payload at head lanes, or a
+    scalar).  Single rotate: rot_right(where(rows<s, fill, x), W-s)."""
+    W = x.shape[-1]
+    z = jnp.where(rows < s, fill, x)
+    return pltpu.roll(z, W - s, 1)
+
+
+def _shr(x, s, rows, fill):
+    """Lane right-shift by static s>0; vacated head lanes w<s take fill[w]
+    (full-width with payload at head lanes, or a scalar)."""
+    return jnp.where(rows < s, fill, pltpu.roll(x, s, 1))
+
+
+def _shift_sel(x, d, shifts, rows, fill=0.0):
     """out[e] = x[e] shifted left by d[e] (row axis last); vacated positions
-    take fills[e, :|s|] (tail for left shifts, head for right).  Same
-    contract as dp.shift_select, traced inside the kernel.  `d` is [E, 1]
-    (Mosaic cannot relayout 1-D vectors to 2-D, so everything stays 2-D)."""
-    E, W = x.shape
+    take fill[e, :|s|] (tail for left shifts, head for right).  Same contract
+    as dp.shift_select, traced inside the kernel.  `d` is [E, 1] (Mosaic
+    cannot relayout 1-D vectors to 2-D, so everything stays 2-D).  `fill` is
+    a scalar or a full-width [E, W] array with payload at head lanes."""
     out = jnp.zeros_like(x)
     for s in shifts:
         if s < 0:
-            head = (fills[:, : -s] if fills is not None
-                    else jnp.zeros((E, -s), x.dtype))
-            cand = jnp.concatenate([head, x[:, :s]], axis=-1)
+            cand = _shr(x, -s, rows, fill)
         elif s == 0:
             cand = x
         else:
-            tail = (fills[:, :s] if fills is not None
-                    else jnp.zeros((E, s), x.dtype))
-            cand = jnp.concatenate([x[:, s:], tail], axis=-1)
+            cand = _shl(x, s, rows, fill)
         out = jnp.where(d == s, cand, out)
     return out
 
@@ -81,7 +100,7 @@ def _mp_combine(lhs, rhs):
 _ID_FILL = (0.0, _NB, _NB, 0.0, _NB, _NB)  # max-plus identity element
 
 
-def _mp_scan(elems, reverse: bool):
+def _mp_scan(elems, rows, reverse: bool):
     """Hillis-Steele inclusive max-plus scan over the last axis.  With
     reverse=True the chain runs from high rows downward (element r applied
     after the suffix r+1..)."""
@@ -90,18 +109,17 @@ def _mp_scan(elems, reverse: bool):
     while d < W:
         shifted = []
         for arr, fv in zip(elems, _ID_FILL):
-            pad = jnp.full((E, d), fv, arr.dtype)
             if reverse:
-                sh = jnp.concatenate([arr[:, d:], pad], axis=-1)
+                sh = _shl(arr, d, rows, fv)
             else:
-                sh = jnp.concatenate([pad, arr[:, :-d]], axis=-1)
+                sh = _shr(arr, d, rows, fv)
             shifted.append(sh)
         elems = _mp_combine(tuple(shifted), elems)
         d *= 2
     return elems
 
 
-def _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, reverse):
+def _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, rows, reverse):
     NB = _NB
     a11 = jnp.maximum(lik_insert, a_stay)
     a12 = a_ext
@@ -111,7 +129,7 @@ def _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, reverse):
     a12 = jnp.where(cut, NB, a12)
     a21 = jnp.where(cut, NB, a21)
     a22 = jnp.where(cut, NB, a22)
-    res = _mp_scan((a11, a12, a21, a22, D, floor0), reverse)
+    res = _mp_scan((a11, a12, a21, a22, D, floor0), rows, reverse)
     return res[4], res[5]
 
 
@@ -134,14 +152,16 @@ def _kernel(backward: bool, need_steps: bool, W: int,
             *out_and_scratch):
     if need_steps:
         (M_out, S_out, stm_out, sts_out, cmax_out, carg_out,
-         prevM, prevS, prevO, win_m, win_s, win_l) = out_and_scratch
+         prevM, prevS, prevO, win_m, win_s, win_l, fw) = out_and_scratch
     else:
         (M_out, S_out, cmax_out, carg_out,
-         prevM, prevS, prevO, win_m, win_s, win_l) = out_and_scratch
+         prevM, prevS, prevO, win_m, win_s, win_l, fw) = out_and_scratch
 
     c = pl.program_id(0)
     E = prevM.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)      # [1, W]
+    # full [E, W] iota: Mosaic's layout pass CHECK-fails on (1, W) vectors at
+    # large W (sublane limit 8 vs dim 1), so avoid 1-sublane shapes entirely
+    rows = jax.lax.broadcasted_iota(jnp.int32, (E, W), 1)      # [E, W]
 
     @pl.when(c == 0)
     def _init():
@@ -161,12 +181,17 @@ def _kernel(backward: bool, need_steps: bool, W: int,
     in_band = i <= i1c
 
     # ---- slide the data windows (anchor prev i0 -> i0c) ----
+    # refill payloads ([E, DMAX]) are staged at the head lanes of the
+    # full-width scratch `fw` so shift fills never need a concatenate
     dw = i0c - p0                                              # [E, 1]
     sh_w = SH_BWD if backward else SH_FWD
     dw = jnp.clip(dw, sh_w[0], sh_w[-1])
-    mean_v = _shift_sel(win_m[:], dw, sh_w, rfm_ref[0])
-    stdv_v = _shift_sel(win_s[:], dw, sh_w, rfs_ref[0])
-    lsx_v = _shift_sel(win_l[:], dw, sh_w, rfl_ref[0])
+    fw[:, :DMAX] = rfm_ref[0]
+    mean_v = _shift_sel(win_m[:], dw, sh_w, rows, fw[:])
+    fw[:, :DMAX] = rfs_ref[0]
+    stdv_v = _shift_sel(win_s[:], dw, sh_w, rows, fw[:])
+    fw[:, :DMAX] = rfl_ref[0]
+    lsx_v = _shift_sel(win_l[:], dw, sh_w, rows, fw[:])
 
     lm = lm_ref[0]                                             # [E, 1]
     ls = ls_ref[0]
@@ -189,14 +214,15 @@ def _kernel(backward: bool, need_steps: bool, W: int,
     pM = prevM[:]
     pO = prevO[:]
     if backward:
-        pm_i = _shift_sel(pM, jnp.clip(dv, -DMAX, 0), SH_BWD)
-        pm_d = _shift_sel(pM, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1)
-        pobs_d = _shift_sel(pO, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1)
+        pm_i = _shift_sel(pM, jnp.clip(dv, -DMAX, 0), SH_BWD, rows)
+        pm_d = _shift_sel(pM, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1, rows)
+        pobs_d = _shift_sel(pO, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1,
+                            rows)
         valid_ul = (i >= p0) & (i < p1)
         match_c = jnp.where(valid_ul, pm_d + pobs_d, 0.0)
     else:
-        pm_i = _shift_sel(pM, jnp.clip(dv, 0, DMAX), SH_FWD)
-        pm_d = _shift_sel(pM, jnp.clip(dv - 1, -1, DMAX - 1), SH_FWD_M1)
+        pm_i = _shift_sel(pM, jnp.clip(dv, 0, DMAX), SH_FWD, rows)
+        pm_d = _shift_sel(pM, jnp.clip(dv - 1, -1, DMAX - 1), SH_FWD_M1, rows)
         valid_ul = (i > p0) & (i <= p1)
         match_c = jnp.where(valid_ul, pm_d, 0.0) + e
 
@@ -205,8 +231,7 @@ def _kernel(backward: bool, need_steps: bool, W: int,
     D = jnp.maximum(jnp.maximum(0.0, skip_c), jnp.maximum(match_c, ignore_c))
 
     if backward:
-        e_src = jnp.concatenate([e[:, 1:], jnp.zeros((E, 1), jnp.float32)],
-                                axis=1)
+        e_src = _shl(e, 1, rows, 0.0)
         cut = i >= i1c
         floor0 = jnp.where(i == i1c, _NB, 0.0)
     else:
@@ -216,57 +241,59 @@ def _kernel(backward: bool, need_steps: bool, W: int,
     a_stay = e_src + lik_stay
     a_ext = e_src + lik_extend
 
-    M, S = _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, backward)
+    M, S = _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, rows,
+                         backward)
 
     M = jnp.where(live, M, 0.0)
     S = jnp.where(live, S, 0.0)
     e_out = jnp.where(live, e, 0.0)
 
     if need_steps:
-        Mm1 = jnp.concatenate([jnp.zeros((E, 1), jnp.float32), M[:, :-1]],
-                              axis=1)
-        Sm1 = jnp.concatenate([jnp.zeros((E, 1), jnp.float32), S[:, :-1]],
-                              axis=1)
+        # step codes carried as int32 (Mosaic cannot relayout f32-derived i1
+        # masks to the (32,128) tiling that uint8 selects need; the i32->u8
+        # cast at the store is supported)
+        Mm1 = _shr(M, 1, rows, 0.0)
+        Sm1 = _shr(S, 1, rows, 0.0)
         nfirst = rows > 0
         ins_c = jnp.where(nfirst, Mm1 + lik_insert, 0.0)
         s4 = jnp.where(nfirst, Mm1 + e_src + lik_stay, _NB)
         s5 = jnp.where(nfirst, Sm1 + e_src + lik_extend, _NB)
 
+        i32 = jnp.int32
         val = jnp.zeros_like(M)
-        stp = jnp.zeros(M.shape, jnp.uint8)
-        bp0 = jnp.where(valid_i, jnp.uint8(SKIP), jnp.uint8(IMPLICIT))
+        stp = jnp.zeros(M.shape, i32)
+        bp0 = jnp.where(valid_i, i32(SKIP), i32(IMPLICIT))
         upd = skip_c > val
         val = jnp.where(upd, skip_c, val)
         stp = jnp.where(upd, bp0, stp)
-        bp1 = jnp.where(valid_ul, jnp.uint8(MATCH), jnp.uint8(IMPLICIT))
+        bp1 = jnp.where(valid_ul, i32(MATCH), i32(IMPLICIT))
         upd = match_c > val
         val = jnp.where(upd, match_c, val)
         stp = jnp.where(upd, bp1, stp)
         upd = ins_c > val
         val = jnp.where(upd, ins_c, val)
-        stp = jnp.where(upd, jnp.uint8(INSERT), stp)
+        stp = jnp.where(upd, i32(INSERT), stp)
         upd = ignore_c > val
         val = jnp.where(upd, ignore_c, val)
-        stp = jnp.where(upd, jnp.uint8(IGNORE), stp)
+        stp = jnp.where(upd, i32(IGNORE), stp)
         upd = S > val
-        stp = jnp.where(upd, jnp.uint8(STAY), stp)
+        stp = jnp.where(upd, i32(STAY), stp)
 
         sval = jnp.where(rows == 0, _NB, jnp.zeros_like(M))
-        sstp = jnp.zeros(M.shape, jnp.uint8)
+        sstp = jnp.zeros(M.shape, i32)
         upd = s4 > sval
         sval = jnp.where(upd, s4, sval)
-        sstp = jnp.where(upd, jnp.uint8(STAY), sstp)
+        sstp = jnp.where(upd, i32(STAY), sstp)
         upd = s5 > sval
-        sstp = jnp.where(upd, jnp.uint8(EXTEND), sstp)
+        sstp = jnp.where(upd, i32(EXTEND), sstp)
 
-        stm_out[0] = jnp.where(live, stp, 0)
-        sts_out[0] = jnp.where(live, sstp, 0)
+        stm_out[0] = jnp.where(live, stp, 0).astype(jnp.uint8)
+        sts_out[0] = jnp.where(live, sstp, 0).astype(jnp.uint8)
 
     # per-column max + first argmax (strict-> semantics resolved outside)
     Mmask = jnp.where(live, M, _NB)
     cmax = jnp.max(Mmask, axis=1, keepdims=True)               # [E, 1]
-    rid = jax.lax.broadcasted_iota(jnp.int32, (E, W), 1)
-    carg = jnp.min(jnp.where(Mmask >= cmax, rid, W), axis=1,
+    carg = jnp.min(jnp.where(Mmask >= cmax, rows, W), axis=1,
                    keepdims=True)                              # [E, 1]
     cmax_out[0] = cmax
     carg_out[0] = carg
@@ -406,7 +433,7 @@ def make_pallas_fill(width: int, need_steps: bool = True,
             in_specs=in_specs,
             out_shape=out_shapes,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((E, W), f32) for _ in range(6)],
+            scratch_shapes=[pltpu.VMEM((E, W), f32) for _ in range(7)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
