@@ -25,7 +25,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from poreseq_tpu.engine.tpu.dp import make_fill
+    from poreseq_tpu.engine.tpu.align import get_fill
     from poreseq_tpu.engine.tpu.pack import (
         fill_inputs, pack_events, round_up, to_device_batch,
     )
@@ -67,8 +67,10 @@ def main():
     h0, h1 = fi["i0"], fi["i1"]
     cells = int(np.sum(np.maximum(h1[:, 1 : S + 1] - h0[:, 1 : S + 1] + 1, 0)) * 4)
 
-    fill = make_fill(WIDTH, jnp.float32)
-    fill_ns = make_fill(WIDTH, jnp.float32, need_steps=False)
+    # get_fill picks the fused Pallas kernel on TPU (the production fill;
+    # 1.8x the XLA scan fill) and the XLA scan on CPU fallback
+    fill = get_fill(WIDTH, jnp.float32)
+    fill_ns = get_fill(WIDTH, jnp.float32, need_steps=False)
 
     # The tunnel-attached device does not honor block_until_ready, so the
     # benchmark chains K dual fills inside ONE jitted fori_loop — each

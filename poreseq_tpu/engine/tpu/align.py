@@ -19,16 +19,29 @@ from .dp import (EXTEND, IGNORE, IMPLICIT, INSERT, MATCH, SKIP, STAY,
 
 
 def _pallas_ok(dtype) -> bool:
-    """Whether the fused Pallas fill applies: f32 + PSQ_PALLAS_FILL=1.
-    Opt-in until the kernel passes hardware validation: the Mosaic lowering
-    on this platform (jax 0.9 / v5e) aborts on the current kernel (see
-    scripts/bench_pallas_fill.py), and 'auto' here would take the whole TPU
-    engine down with it.  The XLA scan fill (dp.make_fill) is the production
-    path."""
-    mode = os.environ.get("PSQ_PALLAS_FILL", "0")
-    if mode != "1":
+    """Whether the fused Pallas fill applies.
+
+    Default ("auto"): on whenever the default backend is a TPU and the fill
+    dtype is f32 — hardware-validated on v5e (fwd+bwd, widths 12-300,
+    E 8-60: lattices match the XLA scan fill to f32 reassociation tolerance,
+    best/argmax bookkeeping identical, backpointer bytes equal away from fp
+    near-ties; 1.8x the scan fill's throughput, scripts/bench_pallas_fill.py).
+    PSQ_PALLAS_FILL=0 forces the XLA scan fill, =1 forces Pallas regardless
+    of backend (interpret-mode tests use make_pallas_fill directly).  The
+    f64 parity path always stays on dp.make_fill (no f64 on TPU Pallas)."""
+    if dtype not in (jnp.float32, "float32"):
         return False
-    return dtype in (jnp.float32, "float32")
+    mode = os.environ.get("PSQ_PALLAS_FILL", "auto")
+    if mode == "1":
+        return True
+    if mode == "auto":
+        try:
+            import jax
+
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - backend probe only
+            return False
+    return False
 
 
 def get_fill(width: int, dtype, need_steps: bool = True):
