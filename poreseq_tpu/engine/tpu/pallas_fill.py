@@ -139,11 +139,11 @@ SH_BWD = tuple(range(-DMAX, 1))
 SH_BWD_P1 = tuple(range(-DMAX + 1, 2))
 
 
-def _kernel(backward: bool, need_steps: bool, W: int,
-            # inputs (refs); per-column [C, E, 1] arrays are blocked (1, E, 1)
-            # so reads are natively [E, 1] 2-D vectors — Mosaic can neither
-            # take (1, E) blocks (trailing-dims tiling rule) nor relayout a
-            # 1-D vector to [E, 1]
+def _kernel(backward: bool, need_steps: bool, W: int, NC: int,
+            # inputs (refs); per-column [C, E, 1] arrays are blocked
+            # (NC, E, 1) so per-column reads are natively [E, 1] 2-D vectors
+            # — Mosaic can neither take (1, E) blocks (trailing-dims tiling
+            # rule) nor relayout a 1-D vector to [E, 1]
             st_ref, live_ref, i0p_ref, i1p_ref, i0c_ref, i1c_ref,
             lm_ref, ls_ref, ll_ref, sm_ref, lam_ref, llam_ref,
             rfm_ref, rfs_ref, rfl_ref,
@@ -152,10 +152,10 @@ def _kernel(backward: bool, need_steps: bool, W: int,
             *out_and_scratch):
     if need_steps:
         (M_out, S_out, stm_out, sts_out, cmax_out, carg_out,
-         prevM, prevS, prevO, win_m, win_s, win_l, fw) = out_and_scratch
+         prevM, prevO, win_m, win_s, win_l, fw) = out_and_scratch
     else:
         (M_out, S_out, cmax_out, carg_out,
-         prevM, prevS, prevO, win_m, win_s, win_l, fw) = out_and_scratch
+         prevM, prevO, win_m, win_s, win_l, fw) = out_and_scratch
 
     c = pl.program_id(0)
     E = prevM.shape[0]
@@ -167,152 +167,186 @@ def _kernel(backward: bool, need_steps: bool, W: int,
     def _init():
         z = jnp.zeros((E, W), jnp.float32)
         prevM[:] = z
-        prevS[:] = z
         prevO[:] = z
         win_m[:] = w0m_ref[:]
         win_s[:] = w0s_ref[:]
         win_l[:] = w0l_ref[:]
 
-    i0c = i0c_ref[0]                                           # [E, 1]
-    i1c = i1c_ref[0]
-    p0 = i0p_ref[0]
-    p1 = i1p_ref[0]
-    i = i0c + rows                                             # [E, W]
-    in_band = i <= i1c
-
-    # ---- slide the data windows (anchor prev i0 -> i0c) ----
-    # refill payloads ([E, DMAX]) are staged at the head lanes of the
-    # full-width scratch `fw` so shift fills never need a concatenate
-    dw = i0c - p0                                              # [E, 1]
-    sh_w = SH_BWD if backward else SH_FWD
-    dw = jnp.clip(dw, sh_w[0], sh_w[-1])
-    fw[:, :DMAX] = rfm_ref[0]
-    mean_v = _shift_sel(win_m[:], dw, sh_w, rows, fw[:])
-    fw[:, :DMAX] = rfs_ref[0]
-    stdv_v = _shift_sel(win_s[:], dw, sh_w, rows, fw[:])
-    fw[:, :DMAX] = rfl_ref[0]
-    lsx_v = _shift_sel(win_l[:], dw, sh_w, rows, fw[:])
-
-    lm = lm_ref[0]                                             # [E, 1]
-    ls = ls_ref[0]
-    ll = ll_ref[0]                      # pre-folded with -lik_offset
-    sm = sm_ref[0]
-    lam = lam_ref[0]
-    llam = llam_ref[0]
-    e = emission(mean_v, stdv_v, lsx_v, lm, ls, ll, sm, lam, llam, 0.0)
-    e = jnp.where(in_band, e, 0.0)
-    live = in_band & (live_ref[0] > 0.5)
-
-    # ---- previous-column reads via static rolls ----
     lik_skip = lik4_ref[0]                                     # [E, 1]
     lik_stay = lik4_ref[1]
     lik_extend = lik4_ref[2]
     lik_insert = lik4_ref[3]
-    dv = i0c - p0
 
-    valid_i = (i >= p0) & (i <= p1)
+    # cross-column carry held in registers across the NC unrolled columns;
+    # the stay lattice has no cross-column dependency so only M and the
+    # emission column are carried
     pM = prevM[:]
     pO = prevO[:]
-    if backward:
-        pm_i = _shift_sel(pM, jnp.clip(dv, -DMAX, 0), SH_BWD, rows)
-        pm_d = _shift_sel(pM, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1, rows)
-        pobs_d = _shift_sel(pO, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1,
-                            rows)
-        valid_ul = (i >= p0) & (i < p1)
-        match_c = jnp.where(valid_ul, pm_d + pobs_d, 0.0)
-    else:
-        pm_i = _shift_sel(pM, jnp.clip(dv, 0, DMAX), SH_FWD, rows)
-        pm_d = _shift_sel(pM, jnp.clip(dv - 1, -1, DMAX - 1), SH_FWD_M1, rows)
-        valid_ul = (i > p0) & (i <= p1)
-        match_c = jnp.where(valid_ul, pm_d, 0.0) + e
+    wm_v = win_m[:]
+    ws_v = win_s[:]
+    wl_v = win_l[:]
 
-    skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_skip
-    ignore_c = jnp.where(valid_ul, pm_d + lik_insert, 0.0)
-    D = jnp.maximum(jnp.maximum(0.0, skip_c), jnp.maximum(match_c, ignore_c))
+    ks = range(NC - 1, -1, -1) if backward else range(NC)
+    for k in ks:
+        i0c = i0c_ref[k]                                       # [E, 1]
+        i1c = i1c_ref[k]
+        p0 = i0p_ref[k]
+        p1 = i1p_ref[k]
+        i = i0c + rows                                         # [E, W]
+        in_band = i <= i1c
 
-    if backward:
-        e_src = _shl(e, 1, rows, 0.0)
-        cut = i >= i1c
-        floor0 = jnp.where(i == i1c, _NB, 0.0)
-    else:
-        e_src = e
-        cut = rows == 0
-        floor0 = jnp.where(cut, _NB, jnp.zeros_like(D))
-    a_stay = e_src + lik_stay
-    a_ext = e_src + lik_extend
+        # ---- slide the data windows (anchor prev i0 -> i0c) ----
+        # refill payloads ([E, DMAX]) are staged at the head lanes of the
+        # full-width scratch `fw` so shift fills never need a concatenate
+        dw = i0c - p0                                          # [E, 1]
+        sh_w = SH_BWD if backward else SH_FWD
+        dw = jnp.clip(dw, sh_w[0], sh_w[-1])
+        fw[:, :DMAX] = rfm_ref[k]
+        mean_v = _shift_sel(wm_v, dw, sh_w, rows, fw[:])
+        fw[:, :DMAX] = rfs_ref[k]
+        stdv_v = _shift_sel(ws_v, dw, sh_w, rows, fw[:])
+        fw[:, :DMAX] = rfl_ref[k]
+        lsx_v = _shift_sel(wl_v, dw, sh_w, rows, fw[:])
 
-    M, S = _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, rows,
-                         backward)
+        lm = lm_ref[k]                                         # [E, 1]
+        ls = ls_ref[k]
+        ll = ll_ref[k]                  # pre-folded with -lik_offset
+        sm = sm_ref[k]
+        lam = lam_ref[k]
+        llam = llam_ref[k]
+        e = emission(mean_v, stdv_v, lsx_v, lm, ls, ll, sm, lam, llam, 0.0)
+        e = jnp.where(in_band, e, 0.0)
+        live = in_band & (live_ref[k] > 0.5)
 
-    M = jnp.where(live, M, 0.0)
-    S = jnp.where(live, S, 0.0)
-    e_out = jnp.where(live, e, 0.0)
+        # ---- previous-column reads via static rolls ----
+        dv = i0c - p0
+        valid_i = (i >= p0) & (i <= p1)
+        if backward:
+            pm_i = _shift_sel(pM, jnp.clip(dv, -DMAX, 0), SH_BWD, rows)
+            pm_d = _shift_sel(pM, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1,
+                              rows)
+            pobs_d = _shift_sel(pO, jnp.clip(dv + 1, -DMAX + 1, 1), SH_BWD_P1,
+                                rows)
+            valid_ul = (i >= p0) & (i < p1)
+            match_c = jnp.where(valid_ul, pm_d + pobs_d, 0.0)
+        else:
+            pm_i = _shift_sel(pM, jnp.clip(dv, 0, DMAX), SH_FWD, rows)
+            pm_d = _shift_sel(pM, jnp.clip(dv - 1, -1, DMAX - 1), SH_FWD_M1,
+                              rows)
+            valid_ul = (i > p0) & (i <= p1)
+            match_c = jnp.where(valid_ul, pm_d, 0.0) + e
 
-    if need_steps:
-        # step codes carried as int32 (Mosaic cannot relayout f32-derived i1
-        # masks to the (32,128) tiling that uint8 selects need; the i32->u8
-        # cast at the store is supported)
-        Mm1 = _shr(M, 1, rows, 0.0)
-        Sm1 = _shr(S, 1, rows, 0.0)
-        nfirst = rows > 0
-        ins_c = jnp.where(nfirst, Mm1 + lik_insert, 0.0)
-        s4 = jnp.where(nfirst, Mm1 + e_src + lik_stay, _NB)
-        s5 = jnp.where(nfirst, Sm1 + e_src + lik_extend, _NB)
+        skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_skip
+        ignore_c = jnp.where(valid_ul, pm_d + lik_insert, 0.0)
+        D = jnp.maximum(jnp.maximum(0.0, skip_c),
+                        jnp.maximum(match_c, ignore_c))
 
-        i32 = jnp.int32
-        val = jnp.zeros_like(M)
-        stp = jnp.zeros(M.shape, i32)
-        bp0 = jnp.where(valid_i, i32(SKIP), i32(IMPLICIT))
-        upd = skip_c > val
-        val = jnp.where(upd, skip_c, val)
-        stp = jnp.where(upd, bp0, stp)
-        bp1 = jnp.where(valid_ul, i32(MATCH), i32(IMPLICIT))
-        upd = match_c > val
-        val = jnp.where(upd, match_c, val)
-        stp = jnp.where(upd, bp1, stp)
-        upd = ins_c > val
-        val = jnp.where(upd, ins_c, val)
-        stp = jnp.where(upd, i32(INSERT), stp)
-        upd = ignore_c > val
-        val = jnp.where(upd, ignore_c, val)
-        stp = jnp.where(upd, i32(IGNORE), stp)
-        upd = S > val
-        stp = jnp.where(upd, i32(STAY), stp)
+        if backward:
+            e_src = _shl(e, 1, rows, 0.0)
+            cut = i >= i1c
+            floor0 = jnp.where(i == i1c, _NB, 0.0)
+        else:
+            e_src = e
+            cut = rows == 0
+            floor0 = jnp.where(cut, _NB, jnp.zeros_like(D))
+        a_stay = e_src + lik_stay
+        a_ext = e_src + lik_extend
 
-        sval = jnp.where(rows == 0, _NB, jnp.zeros_like(M))
-        sstp = jnp.zeros(M.shape, i32)
-        upd = s4 > sval
-        sval = jnp.where(upd, s4, sval)
-        sstp = jnp.where(upd, i32(STAY), sstp)
-        upd = s5 > sval
-        sstp = jnp.where(upd, i32(EXTEND), sstp)
+        M, S = _column_solve(D, a_stay, a_ext, lik_insert, floor0, cut, rows,
+                             backward)
 
-        stm_out[0] = jnp.where(live, stp, 0).astype(jnp.uint8)
-        sts_out[0] = jnp.where(live, sstp, 0).astype(jnp.uint8)
+        M = jnp.where(live, M, 0.0)
+        S = jnp.where(live, S, 0.0)
+        e_out = jnp.where(live, e, 0.0)
 
-    # per-column max + first argmax (strict-> semantics resolved outside)
-    Mmask = jnp.where(live, M, _NB)
-    cmax = jnp.max(Mmask, axis=1, keepdims=True)               # [E, 1]
-    carg = jnp.min(jnp.where(Mmask >= cmax, rows, W), axis=1,
-                   keepdims=True)                              # [E, 1]
-    cmax_out[0] = cmax
-    carg_out[0] = carg
+        if need_steps:
+            # step codes carried as int32 (Mosaic cannot relayout f32-derived
+            # i1 masks to the (32,128) tiling that uint8 selects need; the
+            # i32->u8 cast at the store is supported)
+            Mm1 = _shr(M, 1, rows, 0.0)
+            Sm1 = _shr(S, 1, rows, 0.0)
+            nfirst = rows > 0
+            ins_c = jnp.where(nfirst, Mm1 + lik_insert, 0.0)
+            s4 = jnp.where(nfirst, Mm1 + e_src + lik_stay, _NB)
+            s5 = jnp.where(nfirst, Sm1 + e_src + lik_extend, _NB)
 
-    M_out[0] = M
-    S_out[0] = S
-    prevM[:] = M
-    prevS[:] = S
-    prevO[:] = e_out
-    win_m[:] = mean_v
-    win_s[:] = stdv_v
-    win_l[:] = lsx_v
+            i32 = jnp.int32
+            val = jnp.zeros_like(M)
+            stp = jnp.zeros(M.shape, i32)
+            bp0 = jnp.where(valid_i, i32(SKIP), i32(IMPLICIT))
+            upd = skip_c > val
+            val = jnp.where(upd, skip_c, val)
+            stp = jnp.where(upd, bp0, stp)
+            bp1 = jnp.where(valid_ul, i32(MATCH), i32(IMPLICIT))
+            upd = match_c > val
+            val = jnp.where(upd, match_c, val)
+            stp = jnp.where(upd, bp1, stp)
+            upd = ins_c > val
+            val = jnp.where(upd, ins_c, val)
+            stp = jnp.where(upd, i32(INSERT), stp)
+            upd = ignore_c > val
+            val = jnp.where(upd, ignore_c, val)
+            stp = jnp.where(upd, i32(IGNORE), stp)
+            upd = S > val
+            stp = jnp.where(upd, i32(STAY), stp)
+
+            sval = jnp.where(rows == 0, _NB, jnp.zeros_like(M))
+            sstp = jnp.zeros(M.shape, i32)
+            upd = s4 > sval
+            sval = jnp.where(upd, s4, sval)
+            sstp = jnp.where(upd, i32(STAY), sstp)
+            upd = s5 > sval
+            sstp = jnp.where(upd, i32(EXTEND), sstp)
+
+            stm_out[k] = jnp.where(live, stp, 0).astype(jnp.uint8)
+            sts_out[k] = jnp.where(live, sstp, 0).astype(jnp.uint8)
+
+        # per-column max + first argmax (strict-> semantics resolved outside)
+        Mmask = jnp.where(live, M, _NB)
+        cmax = jnp.max(Mmask, axis=1, keepdims=True)           # [E, 1]
+        carg = jnp.min(jnp.where(Mmask >= cmax, rows, W), axis=1,
+                       keepdims=True)                          # [E, 1]
+        cmax_out[k] = cmax
+        carg_out[k] = carg
+
+        M_out[k] = M
+        S_out[k] = S
+        pM = M
+        pO = e_out
+        wm_v = mean_v
+        ws_v = stdv_v
+        wl_v = lsx_v
+
+    prevM[:] = pM
+    prevO[:] = pO
+    win_m[:] = wm_v
+    win_s[:] = ws_v
+    win_l[:] = wl_v
+
+
+def _pick_nc(C: int, nc) -> int:
+    """Columns per grid step; must divide C (C is padded to a multiple of 64
+    upstream).  Measured on v5e at production shape (width 300, E=60): NC=1
+    3.55 B cells/s, NC=4 and NC=8 both 3.39 B — the kernel is compute-bound
+    (the in-column max-plus scan dominates), so blocking only adds VMEM
+    pressure (NC>=4 also needs vmem_limit_bytes above the 16 MB default).
+    Default 1; PSQ_PALLAS_NC overrides for experiments."""
+    import os
+
+    if nc is None:
+        nc = int(os.environ.get("PSQ_PALLAS_NC", "1"))
+    nc = max(1, nc)
+    while C % nc:
+        nc //= 2
+    return max(1, nc)
 
 
 def make_pallas_fill(width: int, need_steps: bool = True,
-                     interpret: bool = False):
+                     interpret: bool = False, nc: int | None = None):
     """Drop-in replacement for dp.make_fill(width, jnp.float32, need_steps):
     returns fill(batch, states, i0, i1, win0, refills, is_pad, lik_offset,
-    backward) -> FillResult, computed by one fused Pallas kernel."""
+    backward) -> FillResult, computed by one fused Pallas kernel processing
+    NC columns per grid step."""
     W = 2 * width + 1
 
     def fill(batch: EventBatch, states, i0, i1, win0, refills, is_pad,
@@ -342,18 +376,26 @@ def make_pallas_fill(width: int, need_steps: bool = True,
             g(batch.sd_mean), g(batch.sd_lambda), g(batch.log_lambda))
         ll_g = ll_g - jnp.asarray(lik_offset, f32)  # fold +lik_offset into -ll
 
-        # band-start/top rows for (prev, cur): [C+2, E, 1] with the virtual
-        # blank column appended for the backward direction's first step.
-        # Per-column arrays carry a trailing singleton axis so their
-        # (1, E, 1) blocks satisfy Mosaic's trailing-dims rule AND kernel
-        # reads are natively [E, 1] (no 1-D->2-D vector relayouts, which
-        # Mosaic cannot lower).
+        # explicit per-column (prev, cur) band geometry in forward storage
+        # order: [C, E, 1] arrays sharing ONE block map with every other
+        # per-column input.  Per-column arrays carry a trailing singleton
+        # axis so their (NC, E, 1) blocks satisfy Mosaic's trailing-dims rule
+        # AND kernel reads are natively [E, 1] (no 1-D->2-D vector relayouts,
+        # which Mosaic cannot lower).
         i0T = i0.astype(jnp.int32).T                                # [C+1, E]
         i1T = i1.astype(jnp.int32).T
         zrow = jnp.zeros((1, E), jnp.int32)
         nrow = batch.n0.astype(jnp.int32)[None, :]
-        i0B = jnp.concatenate([i0T, zrow], axis=0)[:, :, None]     # [C+2,E,1]
-        i1B = jnp.concatenate([i1T, nrow], axis=0)[:, :, None]
+        i0cur = i0T[1:][:, :, None]                                # [C, E, 1]
+        i1cur = i1T[1:][:, :, None]
+        if backward:
+            # prev of output column j is column j+2's row; the virtual blank
+            # column [0, n0] backs the last processed column
+            i0prv = jnp.concatenate([i0T[2:], zrow], axis=0)[:, :, None]
+            i1prv = jnp.concatenate([i1T[2:], nrow], axis=0)[:, :, None]
+        else:
+            i0prv = i0T[:-1][:, :, None]
+            i1prv = i1T[:-1][:, :, None]
 
         w0m, w0s, w0l = (jnp.asarray(w, f32) for w in win0)
         rfm, rfs, rfl = (jnp.asarray(r, f32) for r in refills)
@@ -361,37 +403,36 @@ def make_pallas_fill(width: int, need_steps: bool = True,
                           batch.lik_extend,
                           batch.lik_insert]).astype(f32)[:, :, None]
 
+        NC = _pick_nc(C, nc)
+        NB_G = C // NC
         if backward:
-            col = lambda c: (C - 1 - c, 0, 0)   # column q=C-c -> row q-1
-            cur = lambda c: (C - c, 0, 0)       # i0B row q
-            prv = lambda c: (C - c + 1, 0, 0)   # i0B row q+1 (blank at c=0)
+            col = lambda c: (NB_G - 1 - c, 0, 0)
         else:
             col = lambda c: (c, 0, 0)
-            cur = lambda c: (c + 1, 0, 0)
-            prv = lambda c: (c, 0, 0)
-        col3 = col
         const2 = lambda c: (0, 0)
         const3 = lambda c: (0, 0, 0)
 
         vm = pltpu.VMEM
-        cspec = pl.BlockSpec((1, E, 1), col, memory_space=vm)
+        cspec = pl.BlockSpec((NC, E, 1), col, memory_space=vm)
+        rspec = pl.BlockSpec((NC, E, DMAX), col, memory_space=vm)
+        wspec = pl.BlockSpec((NC, E, W), col, memory_space=vm)
         in_specs = [
             cspec,                                            # states (unused
             #   in kernel math beyond live; kept for clarity/debug)
             cspec,                                            # live
-            pl.BlockSpec((1, E, 1), prv, memory_space=vm),    # i0 prev
-            pl.BlockSpec((1, E, 1), prv, memory_space=vm),    # i1 prev
-            pl.BlockSpec((1, E, 1), cur, memory_space=vm),    # i0 cur
-            pl.BlockSpec((1, E, 1), cur, memory_space=vm),    # i1 cur
+            cspec,                                            # i0 prev
+            cspec,                                            # i1 prev
+            cspec,                                            # i0 cur
+            cspec,                                            # i1 cur
             cspec,                                            # lm
             cspec,                                            # ls
             cspec,                                            # ll
             cspec,                                            # sm
             cspec,                                            # lam
             cspec,                                            # llam
-            pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill mean
-            pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill stdv
-            pl.BlockSpec((1, E, DMAX), col3, memory_space=vm),  # refill lsx
+            rspec,                                            # refill mean
+            rspec,                                            # refill stdv
+            rspec,                                            # refill lsx
             pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 mean
             pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 stdv
             pl.BlockSpec((E, W), const2, memory_space=vm),    # win0 lsx
@@ -401,44 +442,38 @@ def make_pallas_fill(width: int, need_steps: bool = True,
             jax.ShapeDtypeStruct((C, E, W), f32),             # M
             jax.ShapeDtypeStruct((C, E, W), f32),             # S
         ]
-        out_specs = [
-            pl.BlockSpec((1, E, W), col3, memory_space=vm),
-            pl.BlockSpec((1, E, W), col3, memory_space=vm),
-        ]
+        out_specs = [wspec, wspec]
         if need_steps:
             out_shapes += [
                 jax.ShapeDtypeStruct((C, E, W), jnp.uint8),
                 jax.ShapeDtypeStruct((C, E, W), jnp.uint8),
             ]
-            out_specs += [
-                pl.BlockSpec((1, E, W), col3, memory_space=vm),
-                pl.BlockSpec((1, E, W), col3, memory_space=vm),
-            ]
+            out_specs += [wspec, wspec]
         out_shapes += [
             jax.ShapeDtypeStruct((C, E, 1), f32),             # cmax
             jax.ShapeDtypeStruct((C, E, 1), jnp.int32),       # carg
         ]
-        out_specs += [
-            pl.BlockSpec((1, E, 1), col, memory_space=vm),
-            pl.BlockSpec((1, E, 1), col, memory_space=vm),
-        ]
+        out_specs += [cspec, cspec]
 
         def c3(x):
             return x[:, :, None]        # [C, E] -> [C, E, 1]
 
-        kern = functools.partial(_kernel, backward, need_steps, W)
+        kern = functools.partial(_kernel, backward, need_steps, W, NC)
         outs = pl.pallas_call(
             kern,
-            grid=(C,),
+            grid=(NB_G,),
             in_specs=in_specs,
             out_shape=out_shapes,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((E, W), f32) for _ in range(7)],
+            scratch_shapes=[pltpu.VMEM((E, W), f32) for _ in range(6)],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary",),
+                # the NC-unrolled body's live intermediates exceed the 16 MB
+                # default scoped-vmem limit; v5e has 128 MB VMEM per core
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(c3(states_ce.astype(jnp.int32)), c3(live_col),
-          i0B, i1B, i0B, i1B,
+          i0prv, i1prv, i0cur, i1cur,
           c3(lm_g), c3(ls_g), c3(ll_g), c3(sm_g), c3(lam_g), c3(llam_g),
           rfm, rfs, rfl, w0m, w0s, w0l, lik4)
 

@@ -36,7 +36,7 @@ def _setup(ref_len=120, coverage=4, width=16, seed=3):
     return batch, states_pad, fi, S
 
 
-def _run_pair(width, backward, need_steps=True, **kw):
+def _run_pair(width, backward, need_steps=True, nc=None, **kw):
     batch, states_pad, fi, S = _setup(width=width, **kw)
     key = "bwd" if backward else "fwd"
     f32 = lambda t: tuple(jnp.asarray(x, jnp.float32) for x in t)
@@ -46,8 +46,18 @@ def _run_pair(width, backward, need_steps=True, **kw):
             4.5, backward)
     ref = make_fill(width, jnp.float32, need_steps=need_steps)(*args)
     got = make_pallas_fill(width, need_steps=need_steps,
-                           interpret=True)(*args)
+                           interpret=True, nc=nc)(*args)
     return ref, got, fi, S
+
+
+def test_pallas_fill_single_column():
+    # nc=1 (unblocked) must agree with the default-blocked kernel's contract
+    ref, got, _, _ = _run_pair(width=12, backward=False, nc=1,
+                               ref_len=90, coverage=3, seed=7)
+    np.testing.assert_allclose(np.asarray(got.M), np.asarray(ref.M),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.best), np.asarray(ref.best),
+                               rtol=2e-5, atol=2e-4)
 
 
 @pytest.mark.parametrize("backward", [False, True])
