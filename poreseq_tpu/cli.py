@@ -174,35 +174,51 @@ def consensus(args):
     if batch > 1:
         from .pipeline import mutate_many
 
-        for at in range(0, len(regions), batch):
-            chunk = regions[at : at + batch]
-            try:
-                results = mutate_many(
-                    args.ref, args.bam, args.dir, chunk, params=args.params,
-                    test=args.test, verbose=args.verbose,
-                    reps=args.iterations, backend=args.backend)
-            except Exception as e:
-                # fall back to one-at-a-time so a single bad region only
-                # skips itself (matching the sequential error unit)
-                sys.stderr.write("Batch failed ({}), replaying {} regions "
-                                 "individually\n".format(str(e), len(chunk)))
-                results = None
-            if results is not None:
-                for region, res in zip(chunk, results):
+        def run_chunk(chunk, width):
+            """Lockstep-batch a chunk, halving the batch width on failure
+            (device OOM at large widths is recoverable at smaller ones once
+            the jit caches release the big programs' buffers); width 1 keeps
+            the sequential skip-one-region error unit."""
+            for at in range(0, len(chunk), width):
+                part = chunk[at : at + width]
+                try:
+                    if width == 1:
+                        results = [mutate(
+                            args.ref, args.bam, args.dir, params=args.params,
+                            region=part[0], test=args.test,
+                            verbose=args.verbose, reps=args.iterations,
+                            backend=args.backend)]
+                    else:
+                        results = mutate_many(
+                            args.ref, args.bam, args.dir, part,
+                            params=args.params, test=args.test,
+                            verbose=args.verbose, reps=args.iterations,
+                            backend=args.backend)
+                except Exception as e:
+                    if width == 1:
+                        sys.stderr.write(
+                            "Skipping {}: {}\n".format(part[0], str(e)))
+                        continue
+                    sys.stderr.write(
+                        "Batch of {} failed ({}), retrying at {}\n".format(
+                            len(part), str(e), max(width // 2, 1)))
+                    # drop the failed programs' device buffers before retrying
+                    import gc
+
+                    gc.collect()
+                    try:
+                        import jax
+
+                        jax.clear_caches()
+                    except Exception:
+                        pass
+                    run_chunk(part, max(width // 2, 1))
+                    continue
+                for region, res in zip(part, results):
                     if res is not None:  # None = region skipped during load
                         emit(region, res[0], res[1])
-                continue
-            for region in chunk:
-                try:
-                    seq, acc = mutate(args.ref, args.bam, args.dir,
-                                      params=args.params, region=region,
-                                      test=args.test, verbose=args.verbose,
-                                      reps=args.iterations,
-                                      backend=args.backend)
-                except Exception as e:
-                    sys.stderr.write("Skipping {}: {}\n".format(region, str(e)))
-                    continue
-                emit(region, seq, acc)
+
+        run_chunk(regions, batch)
         return
 
     for region in regions:

@@ -308,3 +308,55 @@ def test_cli_consensus_region_batch(tmp_path):
         a, b = int(ri[1]), int(ri[2])
         acc = swalign(seq, truth[a:b])[0]
         assert acc >= 98.5, (name, acc)
+
+
+def test_cli_region_batch_oom_halving(tmp_path, monkeypatch, capsys):
+    """Batch-width halving fallback: when the lockstep batch fails at widths
+    >1 (e.g. device OOM), the CLI retries at half the width down to the
+    sequential path and still emits every region (no region skipped by a
+    batch-level failure)."""
+    import os
+
+    from poreseq_tpu import cli
+
+    d = str(tmp_path)
+    ref = os.path.join(d, "ref.fasta")
+    with open(ref, "w") as f:
+        f.write(">r\nACGT\n")
+
+    calls = []
+
+    def fake_mutate_many(ref_, bam, rdir, chunk, **kw):
+        calls.append(("many", len(chunk)))
+        raise RuntimeError("RESOURCE_EXHAUSTED: fake")
+
+    def fake_mutate(ref_, bam, rdir, region=None, **kw):
+        calls.append(("one", region))
+        if region == "r:2:3":
+            raise RuntimeError("bad region")
+        return "ACGT", 100.0
+
+    import poreseq_tpu.pipeline as pipeline
+
+    monkeypatch.setattr(pipeline, "mutate_many", fake_mutate_many)
+    monkeypatch.setattr(cli, "mutate", fake_mutate)
+
+    rf = os.path.join(d, "regions.txt")
+    with open(rf, "w") as f:
+        f.write("r:0:1\nr:1:2\nr:2:3\nr:3:4\n")
+    out = os.path.join(d, "out.fasta")
+    cli.main([
+        "consensus", ref, "x.bam", d, "-R", rf, "-o", out,
+        "--region-batch", "4",
+    ])
+
+    from poreseq_tpu.io.fasta import read_fasta
+
+    seqs = read_fasta(out)
+    # every region except the genuinely bad one made it to the output
+    assert set(seqs) == {"r:0:1", "r:1:2", "r:3:4"}
+    # widths walked 4 -> 2 -> 1 (batched attempts fail, singles succeed)
+    assert ("many", 4) in calls and ("many", 2) in calls
+    assert ("one", "r:0:1") in calls
+    err = capsys.readouterr().err
+    assert "retrying at 2" in err and "Skipping r:2:3" in err
