@@ -58,6 +58,9 @@ def main(argv=None):
                             help="process this many regions per device "
                             "program (lockstep cross-region batching; "
                             "tpu backend)")
+    parse_cons.add_argument("--profile", default=None, metavar="DIR",
+                            help="write a JAX profiler trace of the run to "
+                            "DIR (view with tensorboard/xprof)")
     parse_cons.set_defaults(func=consensus)
 
     parse_var = subparsers.add_parser("variant", help="call sequence variants")
@@ -140,6 +143,22 @@ def parse_regions(args):
 
 
 def consensus(args):
+    if getattr(args, "profile", None):
+        # profiler trace of the whole run (the reference has no tracing at
+        # all, SURVEY.md section 5.1); works for both backends — exact runs
+        # appear as host activity only
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        try:
+            _consensus(args)
+        finally:
+            jax.profiler.stop_trace()
+        return
+    _consensus(args)
+
+
+def _consensus(args):
     args.params = load_params(args.params)
     args.params["verbose"] = args.verbose
     regions = parse_regions(args)
@@ -277,11 +296,22 @@ class trainhelper:
 
 
 def train(args):
-    """Hill-climb on consensus accuracy (cmdline.py:246-267)."""
+    """Hill-climb on consensus accuracy (cmdline.py:246-267).
+
+    exact backend: a process pool over candidates, like the reference.
+    tpu backend: one chip can't be shared by a fork pool — the 16 candidates
+    run as ONE lockstep batch instead (pipeline.train_candidates), every
+    propose/score round batched across candidates."""
     params = load_params(args.params)
     for i in range(args.iter):
         paramlist = vary_params(params)
-        if args.threads > 1:
+        if args.backend == "tpu":
+            from .pipeline import train_candidates
+
+            seqs = train_candidates(args.ref, args.bam, args.dir, args.region,
+                                    paramlist, descend=args.descend,
+                                    backend=args.backend)
+        elif args.threads > 1:
             with Pool(processes=args.threads) as pool:
                 seqs = pool.map(trainhelper(args), paramlist)
         else:

@@ -63,12 +63,13 @@ def backtrace_core(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 
     T = t_pad
 
     def lane(M_e, S_e, sm_e, ss_e, i0_e, i1_e, bi, bj):
-        # per-event walk; arrays [C, W] / [C+1]
-        ral = jnp.zeros(T, M.dtype)
-        rlk = jnp.zeros(T, M.dtype)
-
+        # Per-event walk; arrays [C, W] / [C+1].  Every emit decrements i, so
+        # each level index is written at most once — the writes are recorded
+        # as scan outputs and materialized in ONE scatter afterwards instead
+        # of two per-step scatters inside the walk (non-emits are routed to
+        # the out-of-bounds index T, which scatter 'drop' mode discards).
         def body(carry, _):
-            i, j, arr, act, ral, rlk = carry
+            i, j, arr, act = carry
             jok = (j >= 1) & (j <= C)
             jc = jnp.clip(j, 1, C)
             row = i - i0_e[jc]
@@ -90,9 +91,7 @@ def backtrace_core(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 
             emit = ok & (emit_ref | emit_ins)
             val = jnp.where(emit_ref, j.astype(M.dtype), jnp.asarray(-1.0, M.dtype))
 
-            widx = jnp.clip(i - 1, 0, T - 1)
-            ral = ral.at[widx].set(jnp.where(emit, val, ral[widx]))
-            rlk = rlk.at[widx].set(jnp.where(emit, sc, rlk[widx]))
+            widx = jnp.where(emit, i - 1, T)
 
             di = jnp.where(emit, 1, 0)
             dj = jnp.where(is_skip | is_match | is_ignore, 1, 0)
@@ -103,11 +102,13 @@ def backtrace_core(M, S, steps_m, steps_s, i0, i1, best_i, best_j, t_pad: int = 
             j2 = jnp.where(ok, j - dj, j)
             arr2 = jnp.where(ok, narr, arr)
             act2 = act2 & (i2 > 0)
-            return (i2, j2, arr2, act2, ral, rlk), None
+            return (i2, j2, arr2, act2), (widx, val, sc)
 
-        init = (bi, bj, jnp.int32(0), (bi > 0), ral, rlk)
-        (i, j, arr, act, ral, rlk), _ = jax.lax.scan(body, init, None,
-                                                     length=max_steps)
+        init = (bi, bj, jnp.int32(0), (bi > 0))
+        _, (w_all, v_all, s_all) = jax.lax.scan(body, init, None,
+                                                length=max_steps)
+        ral = jnp.zeros(T, M.dtype).at[w_all].set(v_all, mode="drop")
+        rlk = jnp.zeros(T, M.dtype).at[w_all].set(s_all, mode="drop")
         return ral, rlk
 
     return jax.vmap(lane)(

@@ -156,6 +156,26 @@ def mutate_many(
                 + str(round(swalign(pa.sequence, refseq)[0], 1)) + "%\n")
         sessions.append((i, pa, refseq))
 
+    for slot, result in _lockstep_consensus(sessions, params, reps,
+                                            verbose).items():
+        results[slot] = result
+    return results
+
+
+def _lockstep_consensus(sessions, params, reps, verbose):
+    """The Mutate(reps) / (viterbi-Mutate + Refine) schedule of mutate()
+    (Mutate.py:70-85) for SEVERAL loaded sessions in lockstep: one device
+    program per propose/score round serves every session.  Sessions may be
+    different regions (mutate_many) or the same region under different
+    parameter candidates (train_candidates) — per-event likelihood params
+    ride in the device batch either way.
+
+    ``sessions`` is [(slot, pa, refseq)]; returns {slot: (seq, acc)} with the
+    end-trim and final-accuracy bookkeeping of Mutate.py:88-99."""
+    from .engine.multi import mutate_datas, refine_datas
+    from .engine.types import AlignData
+
+    results = {}
     if sessions:
         engine = sessions[0][1].engine
 
@@ -215,6 +235,71 @@ def mutate_many(
                              + str(round(np.mean(pa.Coverage()), 1)) + "X\n")
         results[i] = (seq, acc)
     return results
+
+
+def train_candidates(
+    fastafile: str,
+    bamfile: str,
+    fast5dir: str,
+    region: str | None,
+    paramlist: list[dict],
+    descend: bool = False,
+    reps: int = 10,
+    backend: str = "tpu",
+    verbose: int = 1,
+):
+    """One training iteration's parameter candidates (Params.py:31-57) run as
+    ONE lockstep batch: the TPU-native replacement for the reference's
+    `multiprocessing.Pool(threads).map(trainhelper)` (cmdline.py:258-259).
+
+    The candidates differ only in the `*_t`/`*_c` emission/transition
+    probabilities (vary_params), which live per-event in the device batch —
+    so the region is loaded once, events are cloned per candidate with that
+    candidate's `setparams`, and all candidates share every device program.
+    Returns [(sequence, accuracy)] in paramlist order, like mapping
+    trainhelper over the pool."""
+    import copy as _copy
+
+    base_params = dict(paramlist[0])
+    base_params.setdefault("verbose", 0)
+    pa0 = load_aligned_events(fastafile, bamfile, fast5dir,
+                              RegionInfo(region), base_params,
+                              backend=backend)
+    refseq = pa0.sequence
+    if len(pa0.events) < 5:
+        if verbose > 0:
+            sys.stderr.write("Coverage is 1 or 2, not mutating...\n")
+        return [(refseq, 100)] * len(paramlist)
+
+    test = not descend
+    seed = refseq
+    if test:
+        # the seed read does not depend on params: pick it once
+        seed = ""
+        for ev in pa0.events:
+            pairs = swalign(ev.sequence, refseq)[1]
+            if pairs[-1][1] - pairs[0][1] > len(seed):
+                seed = ev.sequence[pairs[0][0] : pairs[-1][0]]
+        sys.stderr.write(
+            "Starting accuracy: "
+            + str(round(swalign(seed, refseq)[0], 1)) + "%\n")
+
+    sessions = []
+    for i, p in enumerate(paramlist):
+        p = dict(p)
+        p.setdefault("verbose", 0)
+        pa = PSAlign(backend=backend)
+        pa.sequence = seed
+        pa.events = (pa0.events if i == 0
+                     else [_copy.deepcopy(ev) for ev in pa0.events])
+        if len(p) > 0:
+            for ev in pa.events:
+                ev.setparams(p)
+        pa.params = p
+        sessions.append((i, pa, refseq))
+
+    results = _lockstep_consensus(sessions, base_params, reps, verbose)
+    return [results[i] for i in range(len(paramlist))]
 
 
 def variant(
