@@ -11,6 +11,9 @@ correctness oracle.
 from .api import PSAlign, swalign, seqtostates
 from .core.params import load_params as LoadParams, save_params as SaveParams
 from .core.regions import RegionInfo, MutationInfo, MutationScore
+from .io.load import load_aligned_events as LoadAlignedEvents
+from .pipeline import mutate as Mutate, variant as Variant
+from .cli import main
 
 __all__ = [
     "PSAlign",
@@ -21,6 +24,10 @@ __all__ = [
     "RegionInfo",
     "MutationInfo",
     "MutationScore",
+    "LoadAlignedEvents",
+    "Mutate",
+    "Variant",
+    "main",
 ]
 
 __version__ = "0.1.0"

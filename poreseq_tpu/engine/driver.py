@@ -14,7 +14,6 @@ so the same logic drives both the exact/CPU backend and the TPU backend.
 
 from __future__ import annotations
 
-import copy
 import sys
 
 import numpy as np
@@ -74,7 +73,7 @@ def find_mutations(engine, data: AlignData, seqs: list[str]) -> list[MutationInf
     for seq in seqs:
         newdata = AlignData(
             sequence=data.sequence,
-            events=[copy.deepcopy(ev) for ev in data.events],
+            events=[ev.light_copy() for ev in data.events],
             params=data.params,
         )
         _, pairs = engine.map_alignments(newdata, seq)

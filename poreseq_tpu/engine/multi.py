@@ -23,7 +23,6 @@ Control-flow parity notes (vs api.PSAlign.Mutate / engine/driver.py):
 
 from __future__ import annotations
 
-import copy
 import sys
 
 import numpy as np
@@ -65,7 +64,7 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
             seq = seqs_list[r][k]
             newdata = AlignData(
                 sequence=datas[r].sequence,
-                events=[copy.deepcopy(ev) for ev in datas[r].events],
+                events=[ev.light_copy() for ev in datas[r].events],
                 params=datas[r].params,
             )
             _, pairs = engine.map_alignments(newdata, seq)

@@ -53,10 +53,15 @@ class TpuEngine:
 
     @staticmethod
     def _fingerprint(events):
+        # prob_* must participate: train iterations vary only the transition
+        # probabilities (Params.py:31-57) while levels stay identical, and the
+        # lik_* arrays live in the cached device batch
         return (len(events),) + tuple(
             (len(ev.mean),
              float(ev.mean[0]) if len(ev.mean) else 0.0,
-             float(ev.model.level_mean[0]))
+             float(ev.model.level_mean[0]),
+             float(ev.model.prob_skip), float(ev.model.prob_stay),
+             float(ev.model.prob_extend), float(ev.model.prob_insert))
             for ev in events)
 
     def _batch_for(self, events, ref_indexes):

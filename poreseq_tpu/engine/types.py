@@ -52,7 +52,7 @@ class AlignData:
     def from_session(cls, session) -> "AlignData":
         return cls(
             sequence=session.sequence,
-            events=[copy.deepcopy(ev) for ev in session.events],
+            events=[ev.light_copy() for ev in session.events],
             params=AlignParams.from_dict(session.params),
         )
 

@@ -258,8 +258,6 @@ def train_candidates(
     candidate's `setparams`, and all candidates share every device program.
     Returns [(sequence, accuracy)] in paramlist order, like mapping
     trainhelper over the pool."""
-    import copy as _copy
-
     base_params = dict(paramlist[0])
     base_params.setdefault("verbose", 0)
     pa0 = load_aligned_events(fastafile, bamfile, fast5dir,
@@ -291,7 +289,7 @@ def train_candidates(
         pa = PSAlign(backend=backend)
         pa.sequence = seed
         pa.events = (pa0.events if i == 0
-                     else [_copy.deepcopy(ev) for ev in pa0.events])
+                     else [ev.light_copy() for ev in pa0.events])
         if len(p) > 0:
             for ev in pa.events:
                 ev.setparams(p)
