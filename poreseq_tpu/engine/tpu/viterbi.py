@@ -10,8 +10,10 @@ glibc rand(); candidate sequences therefore differ from the reference in TPU
 mode — scores still decide acceptance.  Exact-parity runs use the exact
 backend's native Viterbi.
 
-Current implementation note: the observation packing (trimmed-mean emission
-over reads) runs on host; the 1024-state recursion + backtraces run on device.
+Observation packing: per-position level/stdv means are vectorized segment
+sums on host (_position_stats); the per-state emission + worst-25% trimmed
+mean (_obs_device), the 1024-state recursion, and the backtraces all run on
+device.
 """
 
 from __future__ import annotations
@@ -27,61 +29,129 @@ from ...core.sequence import state_base, next_state
 LOG2PI = float(np.log(2.0 * np.pi))
 
 
-def _host_observations(events, skip_prob, stay_prob):
-    """Per-position trimmed-mean observation log-likelihoods [R, 1024] plus
-    the per-position validity, mirroring Viterbi.cpp:269-349."""
-    n_ev = len(events)
-    infos = []
-    for ev in events:
-        ri, rs, re = update_refs(ev.ref_align)
-        d = ev.model.derived()
-        infos.append((ri, rs, re, d))
-    refind = min(i[1] for i in infos)
+def _position_stats(events):
+    """Vectorized per-(reference position, event) observation statistics,
+    behavior-equal to walking getrefstates per position (Viterbi.cpp:269-349
+    via EventData.h:187-204).
 
-    obs_rows = []
-    while True:
-        lvls, sds, ks = [], [], []
-        for k, ev in enumerate(events):
-            ri, rs, re, d = infos[k]
-            inds = getrefstates(ri, ev.ref_align, refind)
-            if len(inds) == 0:
-                continue
-            lvls.append(ev.mean[inds].mean())
-            sds.append(ev.stdv[inds].mean())
-            ks.append(k)
-        nalhere = sum(1 for (ri, rs, re, d) in infos if rs <= refind <= re)
-        nlik = len(ks)
-        if nlik <= nalhere * 0.2:
-            if nalhere == 0:
-                break
-            refind += 1
+    Returns (lvl [R, E], sd [R, E], valid [R, E]) for the retained positions
+    — rows where nlik > 0.2*nalhere, stopping at the first position no event
+    spans — exactly the rows the reference's position loop emits."""
+    E = len(events)
+    infos = [update_refs(ev.ref_align) for ev in events]
+    rmin = min(i[1] for i in infos)
+    # the reference's loop runs past the last *spanned* position as long as
+    # flank-extrapolated ref_index values still produce hits (nlik > 0), and
+    # breaks only when nalhere == 0 AND nlik == 0 — so bound the range by the
+    # largest integral ref_index any event can hit
+    rmax = max(max(i[2], int(np.floor(i[0].max())) if len(i[0]) else i[2])
+               for i in infos)
+    n_r = rmax - rmin + 1
+
+    lvl = np.zeros((n_r, E))
+    sd = np.zeros((n_r, E))
+    valid = np.zeros((n_r, E), dtype=bool)
+    spans = np.zeros((n_r, E), dtype=bool)
+
+    for e, ev in enumerate(events):
+        ri, rs, re = infos[e]
+        ra = ev.ref_align
+        spans[rs - rmin : re - rmin + 1, e] = True
+
+        pos = np.nonzero(ra > 0)[0]
+        vals = ra[pos].astype(np.int64)
+        if len(vals) and not np.all(np.diff(vals) >= 0):
+            # non-monotone seed alignment: fall back to the literal walk
+            for r in range(rmin, rmax + 1):
+                inds = getrefstates(ri, ra, r)
+                if len(inds):
+                    valid[r - rmin, e] = True
+                    lvl[r - rmin, e] = ev.mean[inds].mean()
+                    sd[r - rmin, e] = ev.stdv[inds].mean()
             continue
-        # per-strand obs over all 1024 states
-        per = np.zeros((nlik, 1024))
-        for t, k in enumerate(ks):
-            ev = events[k]
-            m = ev.model
-            d = infos[k][3]
-            lvl, sd = lvls[t], sds[t]
-            d1 = (lvl - m.level_mean) / m.level_stdv
-            ln = -0.5 * (d1 * d1 + LOG2PI) - d["log_lev"]
-            d2 = (sd - m.sd_mean) / m.sd_mean
-            lig = 0.5 * (
-                d["log_lambda"] - 3 * np.log(sd) - LOG2PI
-                - d2 * d2 * d["sd_lambda"] / sd
-            )
-            per[t] = ln + lig
-        if nlik > 1:
-            per.sort(axis=0)
-            nskip = int(np.floor(nlik * 0.25))
-            if nskip > nlik - 2:
-                nskip = 0
-            obs = per[nskip:].sum(axis=0) / (nlik - nskip)
-        else:
-            obs = per[0]
-        obs_rows.append(obs)
-        refind += 1
-    return np.asarray(obs_rows)
+
+        # first exact ref_index == r hit per integer r (the walk's entry)
+        intmask = np.nonzero((ri == np.floor(ri)) & (ri >= rmin)
+                             & (ri <= rmax))[0]
+        iv = ri[intmask].astype(np.int64) - rmin
+        first_hit = np.full(n_r, len(ra), dtype=np.int64)
+        np.minimum.at(first_hit, iv, intmask)
+        hit = first_hit < len(ra)
+        hr = np.nonzero(hit)[0]
+        if len(hr) == 0:
+            continue
+        i = first_hit[hr]
+        # walk from i+1 while ra <= r, collecting aligned levels: with vals
+        # monotone these are pos[a:b), a = first pos > i, b = first val > r
+        a = np.searchsorted(pos, i, side="right")
+        b = np.searchsorted(vals, hr + rmin, side="right")
+        b = np.maximum(a, b)
+        cm = np.concatenate([[0.0], np.cumsum(ev.mean[pos])])
+        cs = np.concatenate([[0.0], np.cumsum(ev.stdv[pos])])
+        cnt = 1 + (b - a)
+        lvl[hr, e] = (ev.mean[i] + cm[b] - cm[a]) / cnt
+        sd[hr, e] = (ev.stdv[i] + cs[b] - cs[a]) / cnt
+        valid[hr, e] = True
+
+    nalhere = spans.sum(axis=1)
+    nlik = valid.sum(axis=1)
+    gap = np.nonzero((nalhere == 0) & (nlik == 0))[0]
+    stop = int(gap[0]) if len(gap) else n_r
+    keep = np.nonzero(nlik[:stop] > 0.2 * nalhere[:stop])[0]
+    return lvl[keep], sd[keep], valid[keep]
+
+
+def _obs_device(lvl, sd, valid, events):
+    """Per-state trimmed-mean observation log-likelihoods [R, 1024] on device
+    (the emission + worst-25% trim of Viterbi.cpp:300-349)."""
+    E = len(events)
+    tabs = np.zeros((6, E, 1024))
+    for e, ev in enumerate(events):
+        m, d = ev.model, ev.model.derived()
+        tabs[0, e] = m.level_mean
+        tabs[1, e] = m.level_stdv
+        tabs[2, e] = d["log_lev"]
+        tabs[3, e] = m.sd_mean
+        tabs[4, e] = d["sd_lambda"]
+        tabs[5, e] = d["log_lambda"]
+
+    if "obs" not in _SWEEP_CACHE:
+        @jax.jit
+        def build(lvl, sd, valid, tabs):
+            lm, ls, ll, sm, lam, llam = (tabs[t][None] for t in range(6))
+            lvl = lvl[:, :, None]
+            sdc = jnp.maximum(sd[:, :, None], 1e-30)
+            d1 = (lvl - lm) / ls
+            ln = -0.5 * (d1 * d1 + LOG2PI) - ll
+            d2 = (sdc - sm) / sm
+            lig = 0.5 * (llam - 3.0 * jnp.log(sdc) - LOG2PI
+                         - d2 * d2 * lam / sdc)
+            per = ln + lig                                   # [R, E, 1024]
+            E = per.shape[1]
+            nlik = jnp.sum(valid, axis=1).astype(jnp.int32)  # [R]
+            nskip = jnp.floor(nlik * 0.25).astype(jnp.int32)
+            nskip = jnp.where((nskip > nlik - 2) | (nlik <= 1), 0, nskip)
+            neg = jnp.asarray(-jnp.inf, per.dtype)
+            per = jnp.where(valid[:, :, None], per, neg)
+            per = jnp.sort(per, axis=1)
+            start = (E - nlik + nskip)[:, None, None]
+            sel = jnp.arange(E, dtype=jnp.int32)[None, :, None] >= start
+            tot = jnp.sum(jnp.where(sel, per, 0.0), axis=1)
+            den = jnp.maximum(nlik - nskip, 1)[:, None]
+            return tot / den
+
+        _SWEEP_CACHE["obs"] = build
+    return _SWEEP_CACHE["obs"](jnp.asarray(lvl), jnp.asarray(sd),
+                               jnp.asarray(valid), jnp.asarray(tabs))
+
+
+def _host_observations(events, skip_prob, stay_prob):
+    """Per-position trimmed-mean observation log-likelihoods [R, 1024],
+    mirroring Viterbi.cpp:269-349 (vectorized; see _position_stats)."""
+    lvl, sd, valid = _position_stats(events)
+    if len(lvl) == 0:
+        return np.zeros((0, 1024))
+    return np.asarray(_obs_device(lvl, sd, valid, events))
 
 
 _SWEEP_CACHE = {}
