@@ -1,15 +1,19 @@
 #!/usr/bin/env python3
-"""Benchmark: banded pair-HMM DP throughput on one TPU chip.
+"""Benchmark: end-to-end consensus throughput on one TPU chip.
 
-Headline metric: DP cells/sec/chip on the flagship banded fill (forward +
-backward, both lattices), on a 1 kb region at ~10X two-strand coverage with
-the reference's realign_width=300 — the configuration behind the reference's
-"~2 min per 1 kb region" CPU number (/root/reference/README.md:102).
+Headline metric (the one the mission is graded on, BASELINE.md): 1 kb
+regions per hour at 10X coverage through the FULL `poreseq consensus`
+pipeline (--region-batch lockstep, i=4, realign_width=300) — the reference's
+number is ~2 min per 1 kb region on a 2015 CPU (= 30 regions/hr,
+/root/reference/README.md:102), so vs_baseline = value / 30.
 
-Baseline: the reference CPU implementation implies ~1e7 DP cells/sec
-(SURVEY.md section 6 derivation); vs_baseline is measured/1e7.
+The JSON line also carries secondary metrics in "extra": the dual banded-fill
+DP rate (cells/s/chip; reference-implied baseline 1e7) and the Refine-scale
+ScoreMutations kernel rate (mutation-event scores/s), plus mean accuracy.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Falls back to the DP-kernel-only metric if the e2e run fails, then to CPU.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -21,7 +25,92 @@ import time
 import numpy as np
 
 
-def main():
+def bench_e2e(deadline):
+    """Full-pipeline consensus over R 1 kb regions at 10X; returns metrics."""
+    import shutil
+    import tempfile
+
+    from poreseq_tpu import cli
+    from poreseq_tpu.api import swalign
+    from poreseq_tpu.io.fasta import read_fasta
+    from poreseq_tpu.sim import write_run
+
+    R, L, cov = 8, 1000, 10
+    d = tempfile.mkdtemp(prefix="psqbench_")
+    try:
+        rng = np.random.default_rng(0)
+        truth, draft, reads_dir, bam, fasta = write_run(
+            d, rng, ref_len=R * L, n_reads=(cov // 2) * R, read_len=L + 200,
+            draft_error=0.02)
+        conf = os.path.join(d, "params.conf")
+        with open(conf, "w") as f:
+            f.write("realign_width = 300\nscoring_width = 100\n"
+                    "point_width = 20\nmin_coverage = 0\nmax_coverage = 30\n"
+                    "min_overlap = 300\nmax_length = 10000\n"
+                    "lik_offset = 4.5\nend_trim = 0\n")
+        rf = os.path.join(d, "regions.txt")
+        with open(rf, "w") as f:
+            f.write("\n".join("synthref:{}:{}".format(r * L, (r + 1) * L)
+                              for r in range(R)) + "\n")
+        out = os.path.join(d, "out.fasta")
+
+        def run_once():
+            if os.path.exists(out):
+                os.unlink(out)
+            t0 = time.perf_counter()
+            cli.main(["consensus", fasta, bam, reads_dir, "-R", rf,
+                      "-p", conf, "-o", out, "-i", "4", "--backend", "tpu",
+                      "--region-batch", str(R)])
+            return time.perf_counter() - t0
+
+        t1 = run_once()
+        dt = t1
+        # steady-state rerun only if the (compile-laden) first run left room
+        if time.monotonic() + t1 * 1.2 < deadline:
+            dt = run_once()
+
+        seqs = read_fasta(out)
+        accs = [swalign(seq, truth[int(n.split(":")[1]):int(n.split(":")[2])])[0]
+                for n, seq in seqs.items()]
+        n_out = len(seqs)
+        return {
+            "regions_per_hour": 3600.0 * n_out / dt,
+            "s_per_region": dt / max(n_out, 1),
+            "first_run_s": t1,
+            "steady_run_s": dt,
+            "n_regions": n_out,
+            "mean_accuracy_pct": float(np.mean(accs)) if accs else 0.0,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def bench_refine_kernel():
+    """Refine-scale ScoreMutations call (all 9/base point mutations of a 1 kb
+    region, 20 events, point_width=20): mutation-event scores per second."""
+    from poreseq_tpu.engine.driver import find_point_mutations
+    from poreseq_tpu.engine.tpu import TpuEngine
+    from poreseq_tpu.engine.types import AlignData
+    from poreseq_tpu.sim import simulate_session
+
+    rng = np.random.default_rng(3)
+    pa, _ = simulate_session(rng, ref_len=1000, coverage=20)
+    engine = TpuEngine()
+    data = AlignData.from_session(pa)
+    data.params.scoring_width = 20
+    muts = find_point_mutations(data)
+    engine.score_mutations(data, muts)          # compile + warm
+    t0 = time.perf_counter()
+    engine.score_mutations(data, muts)
+    dt = time.perf_counter() - t0
+    return {
+        "refine_call_s": dt,
+        "refine_mut_event_scores_per_s": len(muts) * len(data.events) / dt,
+        "refine_n_muts": len(muts),
+    }
+
+
+def bench_fill_kernel():
     import jax
     import jax.numpy as jnp
 
@@ -118,19 +207,68 @@ def main():
     dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
 
     cells_per_sec = cells / dt
-    baseline = 1e7  # reference CPU implied rate (SURVEY.md section 6)
-    result = {
-        "metric": "dp_cells_per_sec_per_chip",
-        "value": float(cells_per_sec),
-        "unit": "cells/s",
-        "vs_baseline": float(cells_per_sec / baseline),
-    }
-    print(json.dumps(result))
     print(
         f"# fill wall time {dt*1000:.2f} ms for {cells/1e6:.1f}M cells "
         f"({COVERAGE} events x {REF_LEN} b region, width {WIDTH})",
         file=sys.stderr,
     )
+    return {"dp_cells_per_s": float(cells_per_sec),
+            "dp_vs_1e7_baseline": float(cells_per_sec / 1e7)}
+
+
+def main():
+    """Inner measurement: e2e headline + secondary kernel metrics."""
+    deadline = time.monotonic() + float(os.environ.get("PSQ_BENCH_BUDGET_S",
+                                                       1100))
+    if os.environ.get("PSQ_BENCH_CPU"):
+        # CPU fallback: kernel-only (e2e at production widths is CPU-hours)
+        k = bench_fill_kernel()
+        print(json.dumps({
+            "metric": "dp_cells_per_sec_per_chip",
+            "value": k["dp_cells_per_s"],
+            "unit": "cells/s",
+            "vs_baseline": k["dp_vs_1e7_baseline"],
+        }))
+        return
+
+    extra = {}
+    e2e = None
+    try:
+        e2e = bench_e2e(deadline)
+        extra.update(e2e)
+    except Exception as e:  # report the kernel metric instead
+        sys.stderr.write("# e2e bench failed: {}\n".format(e))
+
+    for fn in (bench_refine_kernel, bench_fill_kernel):
+        if time.monotonic() > deadline - 180:
+            sys.stderr.write("# skipping {} (budget)\n".format(fn.__name__))
+            continue
+        try:
+            extra.update(fn())
+        except Exception as e:
+            sys.stderr.write("# {} failed: {}\n".format(fn.__name__, e))
+
+    if e2e is not None:
+        print(json.dumps({
+            "metric": "kb_regions_per_hour_10x_e2e",
+            "value": round(e2e["regions_per_hour"], 2),
+            "unit": "regions/hr",
+            # reference: ~2 min per 1 kb region = 30 regions/hr
+            "vs_baseline": round(e2e["regions_per_hour"] / 30.0, 2),
+            "extra": {k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in extra.items()},
+        }))
+    elif "dp_cells_per_s" in extra:
+        print(json.dumps({
+            "metric": "dp_cells_per_sec_per_chip",
+            "value": extra["dp_cells_per_s"],
+            "unit": "cells/s",
+            "vs_baseline": extra["dp_vs_1e7_baseline"],
+            "extra": {k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in extra.items()},
+        }))
+    else:
+        raise SystemExit(3)
 
 
 def _outer():

@@ -59,18 +59,28 @@ class PSAlign:
         params (dict): parameter dictionary
     """
 
-    def __init__(self, backend: str = "exact"):
+    def __init__(self, backend: str = "exact", engine=None):
         self.sequence = ""
         self.events = []
         self.params = {}
         self.backend = backend
+        self._engine = engine          # optional override (e.g. mesh engine)
 
     @property
     def engine(self):
+        if self._engine is not None:
+            return self._engine
         return get_engine(self.backend)
 
     def Copy(self) -> "PSAlign":
-        return copy.deepcopy(self)
+        # the engine (device caches, mesh handles) is shared, not copied
+        eng, self._engine = self._engine, None
+        try:
+            new = copy.deepcopy(self)
+        finally:
+            self._engine = eng
+        new._engine = eng
+        return new
 
     def Coverage(self) -> np.ndarray:
         """Number of events aligned at each base of self.sequence (pyx:225-239)."""

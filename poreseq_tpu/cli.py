@@ -61,6 +61,10 @@ def main(argv=None):
     parse_cons.add_argument("--profile", default=None, metavar="DIR",
                             help="write a JAX profiler trace of the run to "
                             "DIR (view with tensorboard/xprof)")
+    parse_cons.add_argument("--mesh", default=None, metavar="EVxMUT",
+                            help="multi-chip device mesh for the tpu backend"
+                            " (e.g. '8' or '4x2'; 'auto' = all devices on"
+                            " the event axis)")
     parse_cons.set_defaults(func=consensus)
 
     parse_var = subparsers.add_parser("variant", help="call sequence variants")
@@ -159,6 +163,9 @@ def consensus(args):
 
 
 def _consensus(args):
+    if getattr(args, "mesh", None):
+        # resolved when the engine is first created (engine/tpu/_mesh_from_env)
+        os.environ["PSQ_MESH"] = args.mesh
     args.params = load_params(args.params)
     args.params["verbose"] = args.verbose
     regions = parse_regions(args)

@@ -188,10 +188,11 @@ def _argsort_desc(scores: np.ndarray) -> np.ndarray:
     return order
 
 
-def make_mutations(engine, data: AlignData, muts: list[MutationScore]) -> int:
-    """Greedy acceptance with conflict deferral and recursive re-scoring
-    (MakeMutations.cpp:74-146).  The descending sort reproduces std::sort's
-    exact tie permutation (see _argsort_desc)."""
+def greedy_accept(data: AlignData, muts: list[MutationScore]):
+    """One greedy acceptance pass with conflict deferral
+    (MakeMutations.cpp:74-139): returns (accepted bases, deferred mutations).
+    The descending sort reproduces std::sort's exact tie permutation (see
+    _argsort_desc)."""
     mutspc = 10
     mutbases = 0
 
@@ -200,7 +201,7 @@ def make_mutations(engine, data: AlignData, muts: list[MutationScore]) -> int:
     while muts and muts[-1].score < 0:
         muts.pop()
     if not muts:
-        return 0
+        return 0, []
 
     if data.params.verbose:
         sys.stderr.write("Testing {} mutations...\n".format(len(muts)))
@@ -228,6 +229,16 @@ def make_mutations(engine, data: AlignData, muts: list[MutationScore]) -> int:
                 continue
             if muts[j].start >= muts[i].start + len(muts[i].orig):
                 muts[j].start += len(muts[i].mut) - len(muts[i].orig)
+
+    return mutbases, mutextra
+
+
+def make_mutations(engine, data: AlignData, muts: list[MutationScore]) -> int:
+    """Greedy acceptance with conflict deferral and recursive re-scoring
+    (MakeMutations.cpp:74-146).  The lockstep drivers use greedy_accept
+    directly and batch the deferred re-score across regions instead
+    (engine/multi.py make_mutations_multi)."""
+    mutbases, mutextra = greedy_accept(data, muts)
 
     if len(mutextra) > 10:
         mutbases += make_mutations(engine, data, engine.score_mutations(data, mutextra))

@@ -57,16 +57,16 @@ def swalign(seq1: str, seq2: str) -> tuple[float, list[tuple[int, int]]]:
 def fillinds(pairs: np.ndarray) -> np.ndarray:
     """Forward-fill zero (gap) indices with the previous nonzero index
     (cpp/swlib.cpp:342-365).  Note the reference initializes the carry with
-    element 0 even if it is itself zero — preserved."""
+    element 0 even if it is itself zero — preserved (positions before the
+    first nonzero get col[0])."""
     out = pairs.copy()
+    if len(out) == 0:
+        return out
     for c in range(2):
         col = out[:, c]
-        carry = col[0]
-        for i in range(len(col)):
-            if col[i] > 0:
-                carry = col[i]
-            else:
-                col[i] = carry
+        nz = np.where(col > 0, np.arange(len(col)), -1)
+        np.maximum.accumulate(nz, out=nz)
+        col[:] = np.where(nz >= 0, col[np.maximum(nz, 0)], col[0])
     return out
 
 

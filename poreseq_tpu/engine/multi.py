@@ -15,8 +15,9 @@ Control-flow parity notes (vs api.PSAlign.Mutate / engine/driver.py):
     order does not affect results, so candidates are scored in rank WAVES
     (wave k = every region's k-th candidate) to batch across regions;
   * make_mutations (greedy accept) is inherently sequential *per region* and
-    cheap — it stays host-side per region, including its recursive re-score
-    of >10 deferred conflicts (which issues a single-region engine call);
+    cheap — it stays host-side per region; the recursive re-score of >10
+    deferred conflicts is batched across regions per recursion level
+    (make_mutations_multi);
   * a region leaves its Mutate loop when a round accepts 0 bases, exactly as
     the sequential loop breaks.
 """
@@ -28,13 +29,48 @@ import sys
 import numpy as np
 
 from .driver import (candidate_dlikes, extract_mutations,
-                     find_point_mutations, make_mutations)
+                     find_point_mutations, greedy_accept)
 from .types import AlignData
+
+
+def make_mutations_multi(engine, datas, scores_list, live=None):
+    """MakeMutations for R regions: the greedy accept runs host-side per
+    region (inherently sequential there, MakeMutations.cpp:74-139), but the
+    recursive re-score of >10 deferred conflicts (:142-143) — one full
+    ScoreMutations per region per recursion level in the sequential driver —
+    is batched across regions into one engine call per level.  Per-region
+    results are exactly the sequential driver's (scoring one region is
+    independent of its batch neighbors)."""
+    R = len(datas)
+    if live is None:
+        live = [True] * R
+    nbases = [0] * R
+    pending = {r: scores_list[r] for r in range(R) if live[r]}
+    while pending:
+        extras = {}
+        for r, muts in pending.items():
+            nb, mutextra = greedy_accept(datas[r], muts)
+            nbases[r] += nb
+            if len(mutextra) > 10:
+                extras[r] = mutextra
+        if not extras:
+            break
+        muts_list = [extras.get(r, []) for r in range(R)]
+        scored = engine.score_mutations_multi(datas, muts_list)
+        pending = {r: scored[r] for r in extras}
+    return nbases
 
 
 def find_mutations_multi(engine, datas, seqs_list, live=None):
     """FindMutations for R regions, batching device calls across regions.
-    Regions with live[r] False (or no candidates) get [] and are untouched."""
+    Regions with live[r] False (or no candidates) get [] and are untouched.
+
+    Candidate sequences are scored in CHUNKS bounded by an event-row budget
+    (engine.wave_rows, default 1024 — the HBM envelope of one fill at 1 kb /
+    width 300): every chunk is one fused fill+backtrace dispatch covering
+    many (region, candidate) snapshots at once.  Per-candidate numerics are
+    identical to sequential scoring — each event row is independent in the
+    batched fill — so results match the rank-wave and sequential drivers."""
     R = len(datas)
     if live is None:
         live = [True] * R
@@ -46,50 +82,56 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
     engine.score_alignments_multi(datas, likes_list=seqreflikes,
                                   participate=live)
 
-    alllikes = [[] for _ in range(R)]
-    seqals = [[] for _ in range(R)]
     verbose = datas[0].params.verbose
     if verbose:
         sys.stderr.write("Finding mutations")
 
-    maxk = max(len(seqs_list[r]) for r in range(R) if live[r])
-    for k in range(maxk):
-        wave = []                     # (r, seq, pairs, cached reflikes|None)
-        participate = [False] * R
-        call_datas = list(datas)
-        likes_list = [None] * R
-        for r in range(R):
-            if not live[r] or k >= len(seqs_list[r]):
-                continue
-            seq = seqs_list[r][k]
+    # snapshot + host SW remap per (region, candidate); dedupe repeats of the
+    # same candidate within a region (the per-region seqlikes cache serves
+    # later occurrences, like the sequential loop's wave ordering did)
+    tasks = []                        # (r, k, seq, pairs)
+    todo = []                         # (r, seq, newdata) needing a fill
+    seen = set()
+    for r in range(R):
+        if not live[r]:
+            continue
+        for k, seq in enumerate(seqs_list[r]):
             newdata = AlignData(
                 sequence=datas[r].sequence,
                 events=[ev.light_copy() for ev in datas[r].events],
                 params=datas[r].params,
             )
             _, pairs = engine.map_alignments(newdata, seq)
-            reflikes = datas[r].seqlikes.get(seq)
-            if reflikes is None:
-                participate[r] = True
-                call_datas[r] = newdata
-                likes_list[r] = np.zeros(len(seq), dtype=np.float64)
-            wave.append((r, seq, pairs, reflikes))
+            tasks.append((r, k, seq, pairs))
+            if datas[r].seqlikes.get(seq) is None and (r, seq) not in seen:
+                seen.add((r, seq))
+                todo.append((r, seq, newdata))
 
-        if any(participate):
-            engine.score_alignments_multi(call_datas, likes_list=likes_list,
-                                          participate=participate)
-        for (r, seq, pairs, reflikes) in wave:
-            if reflikes is None:
-                reflikes = likes_list[r]
-                datas[r].seqlikes[seq] = reflikes
-            dl, als = candidate_dlikes(seqreflikes[r], reflikes, pairs)
-            alllikes[r].append(dl)
-            seqals[r].append(als)
+    budget = max(int(getattr(engine, "wave_rows", 1024)), 1)
+    total_rows = sum(len(nd.events) for _, _, nd in todo)
+    n_chunks = max(-(-total_rows // budget), 1) if todo else 0
+    per_chunk = -(-len(todo) // n_chunks) if n_chunks else 0
+    for c0 in range(0, len(todo), max(per_chunk, 1)):
+        chunk = todo[c0 : c0 + per_chunk]
+        likes_list = [np.zeros(len(seq), dtype=np.float64)
+                      for _, seq, _ in chunk]
+        engine.score_alignments_multi([nd for _, _, nd in chunk],
+                                      likes_list=likes_list)
+        for (r, seq, _), likes in zip(chunk, likes_list):
+            datas[r].seqlikes[seq] = likes
         if verbose:
-            sys.stderr.write(".")
+            sys.stderr.write("." * len(chunk))
             sys.stderr.flush()
     if verbose:
         sys.stderr.write("\n")
+
+    alllikes = [[] for _ in range(R)]
+    seqals = [[] for _ in range(R)]
+    for (r, k, seq, pairs) in tasks:
+        dl, als = candidate_dlikes(seqreflikes[r], datas[r].seqlikes[seq],
+                                   pairs)
+        alllikes[r].append(dl)
+        seqals[r].append(als)
 
     return [extract_mutations(datas[r].sequence, seqs_list[r], alllikes[r],
                               seqals[r]) if live[r] else []
@@ -108,13 +150,13 @@ def mutate_datas(engine, datas, seqs_list, reps, live=None):
             break
         muts_list = find_mutations_multi(engine, datas, seqs_list, live=live)
         scores_list = engine.score_mutations_multi(datas, muts_list)
+        nbases = make_mutations_multi(engine, datas, scores_list, live=live)
         for r in range(R):
             if not live[r]:
                 continue
-            nbases = make_mutations(engine, datas[r], scores_list[r])
-            if nbases == 0:
+            if nbases[r] == 0:
                 live[r] = False
-            totbases[r] += nbases
+            totbases[r] += nbases[r]
     return totbases
 
 
@@ -130,5 +172,4 @@ def refine_datas(engine, datas, live=None, point_width=None):
     muts_list = [find_point_mutations(datas[r]) if live[r] else []
                  for r in range(R)]
     scores_list = engine.score_mutations_multi(datas, muts_list)
-    return [make_mutations(engine, datas[r], scores_list[r]) if live[r] else 0
-            for r in range(R)]
+    return make_mutations_multi(engine, datas, scores_list, live=live)

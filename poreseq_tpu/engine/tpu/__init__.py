@@ -29,20 +29,58 @@ from .align import FILLS, FUSED, backtrace_device
 from .pack import fill_geometry, pack_events, round_up, to_device_batch
 
 
+def _mesh_from_env():
+    """Resolve the engine mesh from PSQ_MESH: unset/'' -> single device;
+    'auto' -> all devices on the 'ev' axis; 'AxB' -> (ev=A, mut=B).
+    Falls back to single-device when too few devices are attached."""
+    import os
+
+    spec = os.environ.get("PSQ_MESH", "").strip().lower()
+    if not spec or spec in ("0", "none", "off"):
+        return None
+    from ...parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    if spec == "auto":
+        return make_mesh(n_ev=n, n_mut=1) if n > 1 else None
+    a, _, b = spec.partition("x")
+    n_ev, n_mut = int(a), int(b or 1)
+    if n_ev * n_mut > n:
+        import sys
+
+        sys.stderr.write(
+            "PSQ_MESH={} needs {} devices, have {}; running single-device\n"
+            .format(spec, n_ev * n_mut, n))
+        return None
+    return make_mesh(n_ev=n_ev, n_mut=n_mut)
+
+
 class TpuEngine:
     """Drop-in engine with the same primitive surface as ExactEngine, plus
     *_multi entry points batching several regions into one device program.
 
     dtype: jnp.float32 on TPU (default); tests may use float64 on CPU to
-    check against the exact oracle with tight tolerances."""
+    check against the exact oracle with tight tolerances.
+
+    mesh: optional jax.sharding.Mesh with ('ev', 'mut') axes — fills shard
+    events over 'ev' (same Pallas/XLA fill as single-chip, run per shard
+    under shard_map) and the mutation kernel shards events x groups with a
+    psum over 'ev'; outputs are bitwise independent of the mesh shape up to
+    f32 reduction order.  Defaults from the PSQ_MESH env var (CLI --mesh)."""
 
     name = "tpu"
 
-    def __init__(self, dtype=None):
+    #: event-row budget per candidate-scoring fill (engine/multi.py chunks
+    #: (region, candidate) snapshots up to this many rows per dispatch; the
+    #: HBM envelope of one 1 kb / width-300 fill is ~6 MB/row)
+    wave_rows = int(__import__("os").environ.get("PSQ_WAVE_ROWS", 1024))
+
+    def __init__(self, dtype=None, mesh=None):
         from ...jaxcache import enable_compilation_cache
 
         enable_compilation_cache()
         self.dtype = dtype or jnp.float32
+        self.mesh = mesh if mesh is not None else _mesh_from_env()
         # small device-batch cache: event level/model data is constant across
         # engine calls (only ref_align changes, which lives host-side), so
         # the ~35 MB batch upload happens once per region set
@@ -80,7 +118,8 @@ class TpuEngine:
                 batch = batch._replace(active=jnp.asarray(active))
                 self._bcache[fp] = (batch, arrays)
         else:
-            arrays, ref_indexes = pack_events(events)
+            e_div = self.mesh.shape["ev"] if self.mesh is not None else 1
+            arrays, ref_indexes = pack_events(events, e_div=e_div)
             batch = to_device_batch(arrays, self.dtype)
             self._bcache[fp] = (batch, arrays)
             self._bcache_order.append(fp)
@@ -150,15 +189,20 @@ class TpuEngine:
                            p.realign_width)
         T = arrays["mean"].shape[1]
         max_steps = int(ctx["C"] + 2 * T + 8)
-        fused = FUSED.fwd_dev(p.realign_width, self.dtype)
-        res, ral, rlk = fused(
+        fused_args = (
             ctx["batch"], jnp.asarray(ctx["states2"]), jnp.asarray(fi["i0"]),
             jnp.asarray(fi["i1"]), jnp.asarray(fi["is_pad"]),
-            float(p.lik_offset), t_pad=T, max_steps=max_steps,
-        )
+            float(p.lik_offset))
+        if self.mesh is not None:
+            fused = FUSED.fwd_dev_sharded(p.realign_width, self.dtype,
+                                          self.mesh, T, max_steps)
+            best, ral, rlk = fused(*fused_args)
+        else:
+            fused = FUSED.fwd_dev(p.realign_width, self.dtype)
+            best, ral, rlk = fused(*fused_args, t_pad=T, max_steps=max_steps)
         ral = np.asarray(ral, dtype=np.float64)
         rlk = np.asarray(rlk, dtype=np.float64)
-        best = np.asarray(res.best, dtype=np.float64)
+        best = np.asarray(best, dtype=np.float64)
 
         out = []
         e = 0

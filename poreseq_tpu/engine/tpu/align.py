@@ -149,7 +149,10 @@ class FusedCache:
 
     def fwd_dev(self, width, dtype):
         """Like fwd(), but win0/refills built ON DEVICE from the geometry —
-        the engine path (H2D per call shrinks to the int32 band starts)."""
+        the engine path (H2D per call shrinks to the int32 band starts).
+        Returns only (best [E], ral, rlk): the full lattices/step bytes stay
+        internal to the program so XLA can free them at program exit instead
+        of keeping ~C*E*W*10 bytes alive as returned device arrays."""
         key = ("fwd_dev", width, str(dtype))
         if key not in self._fns:
             fill = get_fill(width, dtype, need_steps=True)
@@ -161,13 +164,17 @@ class FusedCache:
                 ral, rlk = backtrace_core(r.M, r.S, r.steps_m, r.steps_s,
                                           r.i0, r.i1, r.best_i, r.best_j,
                                           t_pad, max_steps)
-                return r, ral, rlk
+                return r.best, ral, rlk
 
             self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
         return self._fns[key]
 
     def both_dev(self, width, dtype):
-        """fwd + bwd fills + backtrace, windows built on device."""
+        """fwd + bwd fills + backtrace, windows built on device.  Returns the
+        blank-extended lattice stacks the mutation kernel consumes —
+        (Mf, Sf, Mb, Sb [C+1, E, W], bpf, bpb [C+1, E], ral, rlk) — so the
+        extension concats run inside the program and the step bytes never
+        leave it."""
         key = ("both_dev", width, str(dtype))
         if key not in self._fns:
             fillf = get_fill(width, dtype, need_steps=True)
@@ -182,9 +189,69 @@ class FusedCache:
                 ral, rlk = backtrace_core(rf.M, rf.S, rf.steps_m, rf.steps_s,
                                           rf.i0, rf.i1, rf.best_i, rf.best_j,
                                           t_pad, max_steps)
-                return rf, rb, ral, rlk
+                zc = jnp.zeros((1,) + rf.M.shape[1:], rf.M.dtype)
+                zr = jnp.zeros((1, rf.M.shape[1]), rf.M.dtype)
+                return (jnp.concatenate([zc, rf.M]),
+                        jnp.concatenate([zc, rf.S]),
+                        jnp.concatenate([zc, rb.M]),
+                        jnp.concatenate([zc, rb.S]),
+                        jnp.concatenate([zr, rf.best_pfx]),
+                        jnp.concatenate([zr, rb.best_pfx]),
+                        ral, rlk)
 
             self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
+        return self._fns[key]
+
+    def both_dev_sharded(self, width, dtype, mesh, t_pad, max_steps):
+        """both_dev under shard_map over the engine mesh: events sharded on
+        'ev' (replicated over 'mut'); same Pallas/XLA fill as single-chip."""
+        key = ("both_dev_sh", width, str(dtype), mesh, t_pad, max_steps)
+        if key not in self._fns:
+            from jax.sharding import PartitionSpec as PS
+
+            from ...parallel.mesh import shard_map
+            from .dp import EventBatch
+
+            inner = self.both_dev(width, dtype)
+
+            def go(batch, states, i0, i1, is_pad, off):
+                return inner(batch, states, i0, i1, is_pad, off,
+                             t_pad=t_pad, max_steps=max_steps)
+
+            ev, col_ev = PS("ev"), PS(None, "ev")
+            bspec = EventBatch(*([ev] * len(EventBatch._fields)))
+            f = shard_map(
+                go, mesh,
+                in_specs=(bspec, col_ev, ev, ev, col_ev, PS()),
+                out_specs=(col_ev, col_ev, col_ev, col_ev, col_ev, col_ev,
+                           ev, ev),
+            )
+            self._fns[key] = jax.jit(f)
+        return self._fns[key]
+
+    def fwd_dev_sharded(self, width, dtype, mesh, t_pad, max_steps):
+        """fwd_dev under shard_map over the engine mesh (events on 'ev')."""
+        key = ("fwd_dev_sh", width, str(dtype), mesh, t_pad, max_steps)
+        if key not in self._fns:
+            from jax.sharding import PartitionSpec as PS
+
+            from ...parallel.mesh import shard_map
+            from .dp import EventBatch
+
+            inner = self.fwd_dev(width, dtype)
+
+            def go(batch, states, i0, i1, is_pad, off):
+                return inner(batch, states, i0, i1, is_pad, off,
+                             t_pad=t_pad, max_steps=max_steps)
+
+            ev, col_ev = PS("ev"), PS(None, "ev")
+            bspec = EventBatch(*([ev] * len(EventBatch._fields)))
+            f = shard_map(
+                go, mesh,
+                in_specs=(bspec, col_ev, ev, ev, col_ev, PS()),
+                out_specs=(ev, ev, ev),
+            )
+            self._fns[key] = jax.jit(f)
         return self._fns[key]
 
     def both(self, width, dtype):

@@ -81,12 +81,55 @@ _KERNELS = {}
 
 
 def _group_kernel(W, Ws, RS, K, P, DM, dtype):
+    """Jitted start-group kernel (see _group_kernel_body)."""
+    key = (W, Ws, RS, K, P, DM, str(dtype))
+    if key not in _KERNELS:
+        _KERNELS[key] = jax.jit(_group_kernel_body(W, Ws, RS, K, P, DM, dtype))
+    return _KERNELS[key]
+
+
+def _group_kernel_sharded(mesh, W, Ws, RS, K, P, DM, dtype):
+    """Group kernel under shard_map: events sharded on 'ev', groups on 'mut';
+    per-shard partial deltas (sums over local events) are psum'd over 'ev'
+    into mut-sharded totals — the multi-chip reduction of the reference's
+    event-major score accumulation (cpp/MakeMutations.cpp:23-69)."""
+    key = ("sharded", mesh, W, Ws, RS, K, P, DM, str(dtype))
+    if key not in _KERNELS:
+        from ...parallel.mesh import shard_map
+        from jax.sharding import PartitionSpec as PS
+        from .dp import EventBatch
+
+        body = _group_kernel_body(W, Ws, RS, K, P, DM, dtype)
+
+        def local(*args):
+            return jax.lax.psum(body(*args), "ev")
+
+        ev = PS("ev")
+        col_ev = PS(None, "ev")
+        mut = PS("mut")
+        bspec = EventBatch(*([ev] * len(EventBatch._fields)))
+        f = shard_map(
+            local, mesh,
+            in_specs=(
+                bspec,                     # batch: every array per-event
+                col_ev, col_ev, col_ev, col_ev,   # Mf Sf Mb Sb [C+1, E, W]
+                ev, ev, ev, ev,            # i0f i1f i0r i1r [E, C+1]
+                col_ev, col_ev,            # bpf bpb [C+1, E]
+                ev,                        # ev_region
+                mut, mut, mut, mut,        # g_start g_startind g_S g_region
+                mut, mut, mut, mut,        # s_mlen s_nst s_win s_valid
+                PS(),                      # lik_offset
+            ),
+            out_specs=mut,
+        )
+        _KERNELS[key] = jax.jit(f)
+    return _KERNELS[key]
+
+
+def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
     """Kernel scanning over start-groups.  Static: rectangle widths W/Ws,
     anchor offset RS = realign-scoring >= 0, refill steps K, slots P, net
     indel bound DM (join shift sets are RS +- DMAX*DM wide)."""
-    key = (W, Ws, RS, K, P, DM, str(dtype))
-    if key in _KERNELS:
-        return _KERNELS[key]
 
     SH_STEP = tuple(range(0, DMAX + 1))
     SH_STEP_M1 = tuple(range(-1, DMAX))
@@ -95,7 +138,6 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
     CMIN, CMAX = -span, span                 # copied-col-vs-back join range
     FSMIN, FSMAX = -64, RS + 64 + DMAX       # wide-copy seam offset range
 
-    @jax.jit
     def kernel(batch, Mf, Sf, Mb, Sb, i0f, i1f, i0r, i1r, bpf, bpb,
                ev_region, g_start, g_startind, g_S, g_region,
                s_mlen, s_nst, s_win, s_valid, lik_offset):
@@ -299,7 +341,6 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype):
         _, totals = jax.lax.scan(seg, None, xs_r)
         return totals.reshape(G, -1)
 
-    _KERNELS[key] = kernel
     return kernel
 
 
@@ -337,24 +378,78 @@ def _mut_buckets(muts_all):
     return K_all, D_all
 
 
+def _mut_windows_fast(sequence, muts, K_all):
+    """Vectorized per-mutation state windows for pure-ACGT sequence+muts:
+    builds the window codes (prefix from sequence, the replacement, suffix
+    past the orig span) by gather instead of materializing each full mutated
+    sequence (the sequential path's apply_mutation + seq_to_states per
+    mutation dominates Refine host prep at ~9 muts/base).
+
+    Returns (states [N, K_all] int32 with -1 padding, nst [N])."""
+    from ...core.sequence import _POW4, seq_to_codes
+
+    N = len(muts)
+    S0 = len(sequence)
+    codes = seq_to_codes(sequence)
+    starts = np.fromiter((m.start for m in muts), np.int64, N)
+    lo = np.fromiter((len(m.orig) for m in muts), np.int64, N)
+    lm = np.fromiter((len(m.mut) for m in muts), np.int64, N)
+    # past-the-end starts are no-ops (Sequence.h:38-59)
+    noop = starts >= S0
+    lo = np.where(noop, 0, lo)
+    lm_eff = np.where(noop, 0, lm)
+
+    Mmax = max(int(lm.max()), 1) if N else 1
+    mcodes = np.zeros((N, Mmax), dtype=np.int64)
+    for i, m in enumerate(muts):
+        if m.mut:
+            mcodes[i, : len(m.mut)] = seq_to_codes(m.mut)
+
+    si = np.maximum(starts - 4, 0)
+    pre = starts - si                                    # [0, 4]
+    Lmax = K_all + 4
+    j = np.arange(Lmax, dtype=np.int64)[None, :]
+    in_pre = j < pre[:, None]
+    in_mut = ~in_pre & (j < (pre + lm_eff)[:, None])
+    suf_idx = starts[:, None] + lo[:, None] + j - (pre + lm_eff)[:, None]
+    src_idx = np.where(in_pre, si[:, None] + j, suf_idx)
+    ok = src_idx < S0
+    w = codes[np.clip(src_idx, 0, S0 - 1)]
+    midx = np.clip(j - pre[:, None], 0, Mmax - 1)
+    w = np.where(in_mut, np.take_along_axis(mcodes, midx, axis=1), w)
+    w = np.where(in_mut | ok, w, 0)
+
+    st = (np.lib.stride_tricks.sliding_window_view(w, 5, axis=1)
+          @ _POW4).astype(np.int32)                      # [N, Lmax-4]
+    nst_seq = S0 + lm_eff - lo - 4                       # mutated len-in-states
+    wl = lm + 6
+    nw = np.clip(np.minimum(wl, nst_seq - si), 0, K_all)
+    st = np.where(np.arange(K_all)[None, :] < nw[:, None], st[:, :K_all], -1)
+    return st, np.maximum(nst_seq, 0)
+
+
 def _build_groups(sequence, muts, K_all, P=9):
     """Start-grouped slot arrays for ONE region's mutations (unpadded along
     the group axis).  Mutations sharing a start position share one group (the
     reference's Refine has exactly <=9 point mutations per base)."""
-    starts = np.array([m.start for m in muts], dtype=np.int64)
+    N = len(muts)
+    starts = np.fromiter((m.start for m in muts), np.int64, N)
     order = np.argsort(starts, kind="stable")
-    has_bad = any(c not in "ACGT" for c in set(sequence))
+    has_bad = (any(c not in "ACGT" for c in set(sequence))
+               or any(c not in "ACGT" for m in muts for c in set(m.mut)))
 
-    groups = []
-    cur = []
-    for mi in order:
-        if cur and (starts[mi] != starts[cur[0]] or len(cur) >= P):
-            groups.append(cur)
-            cur = []
-        cur.append(int(mi))
-    if cur:
-        groups.append(cur)
-    G = len(groups)
+    # vectorized grouping: within each equal-start run (stable order), slots
+    # fill P at a time; a new group opens at each run start and each P-block
+    sorted_starts = starts[order]
+    run_start = np.ones(N, dtype=bool)
+    run_start[1:] = sorted_starts[1:] != sorted_starts[:-1]
+    run_first = np.maximum.accumulate(
+        np.where(run_start, np.arange(N), 0))
+    rank = np.arange(N) - run_first
+    t_idx = rank % P
+    new_g = run_start | (t_idx == 0)
+    g_idx = np.cumsum(new_g) - 1
+    G = int(g_idx[-1]) + 1 if N else 0
 
     g_start = np.zeros(G, dtype=np.int32)
     g_startind = np.zeros(G, dtype=np.int32)
@@ -363,25 +458,32 @@ def _build_groups(sequence, muts, K_all, P=9):
     s_win = np.full((G, P, K_all), -1, dtype=np.int32)
     s_valid = np.zeros((G, P), dtype=bool)
     s_idx = np.full((G, P), -1, dtype=np.int64)
+    if not N:
+        return dict(g_start=g_start, g_startind=g_startind, s_mlen=s_mlen,
+                    s_nst=s_nst, s_win=s_win, s_valid=s_valid, s_idx=s_idx)
 
-    for g, idxs in enumerate(groups):
-        st = int(starts[idxs[0]])
-        g_start[g] = st
-        g_startind[g] = max(st - 4, 0)
-        for t, mi in enumerate(idxs):
+    g_start[g_idx] = sorted_starts
+    g_startind[:] = np.maximum(g_start - 4, 0)
+    s_idx[g_idx, t_idx] = order
+    s_mlen[g_idx, t_idx] = np.fromiter((len(m.mut) for m in muts),
+                                       np.int64, N)[order]
+    s_valid[g_idx, t_idx] = (sorted_starts <= len(sequence))
+
+    if not has_bad:
+        win_fast, nst_fast = _mut_windows_fast(sequence, muts, K_all)
+        s_win[g_idx, t_idx] = win_fast[order]
+        s_nst[g_idx, t_idx] = nst_fast[order]
+    else:
+        for n in range(N):
+            mi = int(order[n])
             m = muts[mi]
+            g, t = int(g_idx[n]), int(t_idx[n])
             mutseq = apply_mutation(sequence, m.start, m.orig, m.mut)
             s_nst[g, t] = max(len(mutseq) - 4, 0)
-            s_mlen[g, t] = len(m.mut)
             si = int(g_startind[g])
             wl = len(m.mut) + 6
-            if has_bad or any(c not in "ACGT" for c in m.mut):
-                w = seq_to_states(mutseq)[si : si + wl]
-            else:
-                w = seq_to_states(mutseq[si : si + wl + 4])
+            w = seq_to_states(mutseq)[si : si + wl]
             s_win[g, t, : len(w)] = w
-            s_valid[g, t] = m.start <= len(sequence)
-            s_idx[g, t] = mi
 
     return dict(g_start=g_start, g_startind=g_startind, s_mlen=s_mlen,
                 s_nst=s_nst, s_win=s_win, s_valid=s_valid, s_idx=s_idx)
@@ -474,11 +576,19 @@ def score_mutations_multi(engine, datas, muts_list):
 
     fi = fill_geometry(arrays, ctx["ref_indexes"], S_e, C, p.realign_width)
     T = arrays["mean"].shape[1]
-    fused = FUSED.both_dev(p.realign_width, dtype)
-    resf, resb, ral, rlk = fused(
-        batch, jnp.asarray(ctx["states2"]), jnp.asarray(fi["i0"]),
-        jnp.asarray(fi["i1"]), jnp.asarray(fi["is_pad"]),
-        float(p.lik_offset), t_pad=T, max_steps=int(C + 2 * T + 8))
+    max_steps = int(C + 2 * T + 8)
+    fused_args = (batch, jnp.asarray(ctx["states2"]), jnp.asarray(fi["i0"]),
+                  jnp.asarray(fi["i1"]), jnp.asarray(fi["is_pad"]),
+                  float(p.lik_offset))
+    mesh = getattr(engine, "mesh", None)
+    if mesh is not None:
+        fused = FUSED.both_dev_sharded(p.realign_width, dtype, mesh, T,
+                                       max_steps)
+        Mf, Sf, Mb, Sb, bpf, bpb, ral, rlk = fused(*fused_args)
+    else:
+        fused = FUSED.both_dev(p.realign_width, dtype)
+        Mf, Sf, Mb, Sb, bpf, bpb, ral, rlk = fused(
+            *fused_args, t_pad=T, max_steps=max_steps)
     ral = np.asarray(ral, dtype=np.float64)
     rlk = np.asarray(rlk, dtype=np.float64)
     e = 0
@@ -490,15 +600,6 @@ def score_mutations_multi(engine, datas, muts_list):
                 ev.ref_like = rlk[e, :n].copy()
             e += 1
 
-    # blank-extended stacks, indexed directly by forward column q
-    zero_col = jnp.zeros((1,) + resf.M.shape[1:], resf.M.dtype)
-    Mf = jnp.concatenate([zero_col, resf.M])
-    Sf = jnp.concatenate([zero_col, resf.S])
-    Mb = jnp.concatenate([zero_col, resb.M])
-    Sb = jnp.concatenate([zero_col, resb.S])
-    zrow = jnp.zeros((1, resf.M.shape[1]), resf.M.dtype)
-    bpf = jnp.concatenate([zrow, resf.best_pfx])
-    bpb = jnp.concatenate([zrow, resb.best_pfx])
     i0f = jnp.asarray(fi["i0"])
     i1f = jnp.asarray(fi["i1"])
 
@@ -532,7 +633,10 @@ def score_mutations_multi(engine, datas, muts_list):
     i0r_h, i1r_h = limited_geometry(post_ris, n0, S_e, C, p.scoring_width)
     i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
 
-    kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype)
+    if mesh is not None:
+        kern = _group_kernel_sharded(mesh, W, Ws, RS, K_all, P, D_all, dtype)
+    else:
+        kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype)
     totals_gp = np.asarray(kern(
         batch, Mf, Sf, Mb, Sb, i0f, i1f,
         jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,

@@ -26,7 +26,7 @@ def round_up(x: int, m: int) -> int:
 
 
 def pack_events(events: list[Event], t_pad: int | None = None,
-                e_pad: int | None = None):
+                e_pad: int | None = None, e_div: int = 1):
     """Build the EventBatch arrays (numpy; cast to device later) and return
     (batch_arrays dict, ref_indexes list).
 
@@ -35,7 +35,13 @@ def pack_events(events: list[Event], t_pad: int | None = None,
     up to ~128 (E=60 runs faster in absolute time than E=20), so inactive
     padding rows are pure win."""
     E_real = len(events)
-    E = e_pad or max(round_up(E_real, 32), 64)
+    # coarse event-axis buckets: 32-granular up to 128, then 128-granular —
+    # every distinct E is a separate compiled program and candidate-chunk
+    # batches (engine/multi.py) sweep large, varying row counts.  e_div: the
+    # mesh 'ev' axis size (shard_map needs E divisible by it).
+    E = e_pad or (max(round_up(E_real, 32), 64) if E_real <= 128
+                  else round_up(E_real, 128))
+    E = round_up(E, max(e_div, 1))
     n0 = np.ones(E, dtype=np.int32)
     n0[:E_real] = [len(ev.mean) for ev in events]
     T = t_pad or round_up(int(n0.max()), 256)

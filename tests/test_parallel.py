@@ -22,6 +22,36 @@ def test_dryrun_multichip_8():
 
 
 @needs_devices
+@pytest.mark.parametrize("seed", [3, 9, 17])
+def test_engine_mesh_consensus_matches_single_device(seed):
+    """Full consensus (Mutate + viterbi candidates + Refine) through the
+    PRODUCTION TpuEngine with a 4x2 mesh must reproduce the single-device
+    engine's final sequence (same Pallas/XLA fill per shard; psum'd mutation
+    totals)."""
+    import jax.numpy as jnp
+
+    from poreseq_tpu.engine.tpu import TpuEngine
+    from poreseq_tpu.parallel.mesh import make_mesh
+    from poreseq_tpu.sim import simulate_session
+
+    params = dict(realign_width=16, scoring_width=8, point_width=6, verbose=0)
+
+    def run(mesh):
+        pa, truth = simulate_session(
+            np.random.default_rng(seed), ref_len=120, coverage=6,
+            draft_error=0.04, backend="tpu", params=dict(params))
+        pa._engine = TpuEngine(mesh=mesh)
+        pa.Mutate(reps=2)
+        pa.Mutate(seqs="viterbi", reps=1)
+        pa.Refine()
+        return pa.sequence
+
+    seq1 = run(None)
+    seq8 = run(make_mesh(n_ev=4, n_mut=2, devices=jax.devices()[:8]))
+    assert seq1 == seq8
+
+
+@needs_devices
 def test_sharded_step_matches_single_device():
     """The psum-reduced mutation totals over a 4x2 (ev x mut) mesh must equal
     the single-shard computation."""

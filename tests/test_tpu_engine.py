@@ -62,6 +62,7 @@ def test_score_alignments_f64_matches_exact(x64):
         np.testing.assert_array_equal(evE.ref_align, evT.ref_align)
 
 
+@pytest.mark.slow
 def test_score_mutations_f64_matches_exact(x64):
     from poreseq_tpu.engine.tpu import TpuEngine
 
@@ -89,7 +90,10 @@ def test_score_mutations_f32_sign_agreement():
     assert np.all((sE > 0) == (sT > 0))
 
 
+@pytest.mark.slow
 def test_tpu_consensus_converges():
+    # production widths (realign 300) on CPU: compile-heavy; the fast suite
+    # covers f32 consensus via narrower widths (test_f32_e2e, test_cli)
     pa, truth = _session(seed=7, ref_len=300, coverage=8, draft_error=0.04,
                          backend="tpu")
     from poreseq_tpu.api import swalign
