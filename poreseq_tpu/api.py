@@ -128,6 +128,11 @@ class PSAlign:
             data.params.scoring_width = int(self.params["point_width"])
         muts = [MutationScore(m.start, m.orig, m.mut, m.score) for m in pymuts]
         driver.make_mutations(self.engine, data, muts)
+        self._sync(data)
+
+    def _sync(self, data) -> None:
+        # deferred device reads (ref_like) materialize at sync points only
+        getattr(self.engine, "flush_ref_likes", lambda: None)()
         data.sync_back(self)
 
     def Mutate(self, seqs="self", reps: int = 4) -> int:
@@ -152,7 +157,7 @@ class PSAlign:
                 break
             totbases += nbases
 
-        data.sync_back(self)
+        self._sync(data)
         return totbases
 
     def Refine(self) -> int:
@@ -163,5 +168,5 @@ class PSAlign:
         mutations = driver.find_point_mutations(data)
         scores = self.engine.score_mutations(data, mutations)
         nbases = driver.make_mutations(self.engine, data, scores)
-        data.sync_back(self)
+        self._sync(data)
         return nbases

@@ -89,6 +89,8 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
     # snapshot + host SW remap per (region, candidate); dedupe repeats of the
     # same candidate within a region (the per-region seqlikes cache serves
     # later occurrences, like the sequential loop's wave ordering did)
+    from .exact.sw import fillinds, swfull
+
     tasks = []                        # (r, k, seq, pairs)
     todo = []                         # (r, seq, newdata) needing a fill
     seen = set()
@@ -96,16 +98,22 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
         if not live[r]:
             continue
         for k, seq in enumerate(seqs_list[r]):
-            newdata = AlignData(
-                sequence=datas[r].sequence,
-                events=[ev.light_copy() for ev in datas[r].events],
-                params=datas[r].params,
-            )
-            _, pairs = engine.map_alignments(newdata, seq)
-            tasks.append((r, k, seq, pairs))
             if datas[r].seqlikes.get(seq) is None and (r, seq) not in seen:
+                # snapshot + remap events onto the candidate for its fill
+                newdata = AlignData(
+                    sequence=datas[r].sequence,
+                    events=[ev.light_copy() for ev in datas[r].events],
+                    params=datas[r].params,
+                )
+                _, pairs = engine.map_alignments(newdata, seq)
                 seen.add((r, seq))
                 todo.append((r, seq, newdata))
+            else:
+                # cached likes: only the SW pair map is needed (same pairs
+                # map_alignments would return; no event copies/remap)
+                _, p0, _ = swfull(datas[r].sequence, seq)
+                pairs = fillinds(p0)
+            tasks.append((r, k, seq, pairs))
 
     budget = max(int(getattr(engine, "wave_rows", 1024)), 1)
     total_rows = sum(len(nd.events) for _, _, nd in todo)
@@ -115,8 +123,10 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
         chunk = todo[c0 : c0 + per_chunk]
         likes_list = [np.zeros(len(seq), dtype=np.float64)
                       for _, seq, _ in chunk]
+        # likes_only: the snapshots are discarded after their likes are read,
+        # so no [E, T] realignment output ever crosses the device boundary
         engine.score_alignments_multi([nd for _, _, nd in chunk],
-                                      likes_list=likes_list)
+                                      likes_list=likes_list, likes_only=True)
         for (r, seq, _), likes in zip(chunk, likes_list):
             datas[r].seqlikes[seq] = likes
         if verbose:

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from ...core.sequence import seq_to_states
 from ...core.regions import MutationScore
 from ..types import AlignData, make_mutscores
-from ..exact.align import likes_contribution
 from ..exact.sw import map_alignments as _map_alignments
 from ...core.events import update_refs
 from .align import FILLS, FUSED, backtrace_device
@@ -72,8 +71,9 @@ class TpuEngine:
 
     #: event-row budget per candidate-scoring fill (engine/multi.py chunks
     #: (region, candidate) snapshots up to this many rows per dispatch; the
-    #: HBM envelope of one 1 kb / width-300 fill is ~6 MB/row)
-    wave_rows = int(__import__("os").environ.get("PSQ_WAVE_ROWS", 1024))
+    #: HBM envelope of one 1 kb / width-300 fill is ~6 MB/row, so 512 rows
+    #: keeps the fill program's lattices under ~4 GB)
+    wave_rows = int(__import__("os").environ.get("PSQ_WAVE_ROWS", 512))
 
     def __init__(self, dtype=None, mesh=None):
         from ...jaxcache import enable_compilation_cache
@@ -86,6 +86,11 @@ class TpuEngine:
         # the ~35 MB batch upload happens once per region set
         self._bcache: dict = {}
         self._bcache_order: list = []
+        # deferred ref_like reads: id(ev) -> (ev, device rlk [E, T], row).
+        # ref_like is write-only inside the consensus loop (likes come from
+        # the device), so the [E, T] read happens once per sync point instead
+        # of once per fill — the tunnel D2H is the e2e bottleneck
+        self._rlk_pending: dict = {}
 
     # ---------------- packing / cache ----------------
 
@@ -165,19 +170,53 @@ class TpuEngine:
                     n0=n0, E=E, ev_region=ev_region, S_list=S_list,
                     S_e=S_e, C=C, states2=states2)
 
+    # ---------------- deferred ref_like ----------------
+
+    def _defer_rlk(self, ev, rlk_dev, row: int):
+        self._rlk_pending[id(ev)] = (ev, rlk_dev, row)
+
+    def flush_ref_likes(self):
+        """Materialize pending ref_like rows (one D2H read per distinct fill
+        output still holding a final value).  Called at sync points (before
+        AlignData.sync_back); superseded fills are never read."""
+        by_arr: dict = {}
+        for ev, dev, row in self._rlk_pending.values():
+            by_arr.setdefault(id(dev), (dev, []))[1].append((ev, row))
+        for dev, items in by_arr.values():
+            h = np.asarray(dev, dtype=np.float64)
+            for ev, row in items:
+                ev.ref_like = h[row, : len(ev.mean)].copy()
+        self._rlk_pending.clear()
+
+    @staticmethod
+    def _likes_slice(vals_row, S_r: int, n_bases: int) -> np.ndarray:
+        """Host tail of likes_contribution: place the device-selected values
+        (vals[k] = score of last aligned level at/before ref index k+1) into
+        the per-base likes layout."""
+        out = np.zeros(n_bases, dtype=np.float64)
+        lim = min(S_r + 3, n_bases - 1)
+        if lim >= 2:
+            out[2 : lim + 1] = vals_row[: lim - 1]
+        return out
+
     # ---------------- engine primitives ----------------
 
     def score_alignments(self, data: AlignData, likes=None):
         return self.score_alignments_multi([data], [likes])[0]
 
     def score_alignments_multi(self, datas: list[AlignData], likes_list=None,
-                               participate=None):
+                               participate=None, likes_only=False):
         """ScoreAlignments for R regions in one fused fill+backtrace call:
         realign all events (updating them in place), return per-region score
-        lists, optionally accumulate per-region per-base likes.
+        lists, optionally accumulate per-region per-base likes (computed on
+        device — see align.device_likes).
 
         participate: optional [R] bools — regions marked False are skipped
-        (their events are neither scored nor updated)."""
+        (their events are neither scored nor updated).
+
+        likes_only: the candidate-scoring mode — events are NOT updated and
+        nothing [E, T]-sized is read back from the device; only per-event
+        scores and the [E, C] likes values cross the boundary."""
         if likes_list is None:
             likes_list = [None] * len(datas)
         if participate is None:
@@ -189,20 +228,36 @@ class TpuEngine:
                            p.realign_width)
         T = arrays["mean"].shape[1]
         max_steps = int(ctx["C"] + 2 * T + 8)
+        n_like = int(ctx["C"])
         fused_args = (
             ctx["batch"], jnp.asarray(ctx["states2"]), jnp.asarray(fi["i0"]),
             jnp.asarray(fi["i1"]), jnp.asarray(fi["is_pad"]),
             float(p.lik_offset))
-        if self.mesh is not None:
+        ral = rlk_dev = None
+        if likes_only:
+            if self.mesh is not None:
+                fused = FUSED.fwd_likes_sharded(p.realign_width, self.dtype,
+                                                self.mesh, T, max_steps,
+                                                n_like)
+                best, vals = fused(*fused_args)
+            else:
+                fused = FUSED.fwd_likes(p.realign_width, self.dtype)
+                best, vals = fused(*fused_args, t_pad=T, max_steps=max_steps,
+                                   n_like=n_like)
+        elif self.mesh is not None:
             fused = FUSED.fwd_dev_sharded(p.realign_width, self.dtype,
-                                          self.mesh, T, max_steps)
-            best, ral, rlk = fused(*fused_args)
+                                          self.mesh, T, max_steps, n_like)
+            best, ral, rlk_dev, vals = fused(*fused_args)
         else:
             fused = FUSED.fwd_dev(p.realign_width, self.dtype)
-            best, ral, rlk = fused(*fused_args, t_pad=T, max_steps=max_steps)
-        ral = np.asarray(ral, dtype=np.float64)
-        rlk = np.asarray(rlk, dtype=np.float64)
+            best, ral, rlk_dev, vals = fused(*fused_args, t_pad=T,
+                                             max_steps=max_steps,
+                                             n_like=n_like)
+        if ral is not None:
+            ral = np.asarray(ral, dtype=np.float64)
         best = np.asarray(best, dtype=np.float64)
+        any_likes = any(l is not None for l in likes_list)
+        vals_h = np.asarray(vals, dtype=np.float64) if any_likes else None
 
         out = []
         e = 0
@@ -213,15 +268,16 @@ class TpuEngine:
                 continue
             scores = []
             S_r = ctx["S_list"][r]
+            n_bases = len(data.sequence)
             for ev in data.events:
                 n = int(n0[e])
-                if arrays["active"][e]:
+                if ral is not None and arrays["active"][e]:
                     ev.ref_align = ral[e, :n].copy()
-                    ev.ref_like = rlk[e, :n].copy()
+                    self._defer_rlk(ev, rlk_dev, e)
                 scores.append(float(best[e]))
                 if likes_list[r] is not None:
-                    likes_list[r] += likes_contribution(
-                        ev.ref_align, ev.ref_like, S_r, len(data.sequence))
+                    likes_list[r] += self._likes_slice(vals_h[e], S_r,
+                                                       n_bases)
                 e += 1
             out.append(scores)
         return out

@@ -122,6 +122,32 @@ backtrace_device = jax.jit(backtrace_core,
                            static_argnames=("t_pad", "max_steps"))
 
 
+def device_likes(ral, rlk, n_like: int):
+    """Per-event per-reference-base cumulative likelihood values on device
+    (the selection core of likes_contribution, cpp/MakeMutations.cpp:168-189).
+
+    ral/rlk [E, T] are the backtrace outputs (ral monotone where > 0, as the
+    device backtrace emits).  Returns vals [E, n_like] where vals[e, k] is
+    the DP score of the last aligned level at or before reference index k+1
+    (0 where none) — the host slices vals[:, :lim-1] into likes[2:lim+1]
+    exactly like the host fast path."""
+    T = ral.shape[1]
+    iota = jnp.arange(T, dtype=jnp.int32)
+    anchor = ral > 0
+    idxf = jax.lax.cummax(jnp.where(anchor, iota, -1), axis=1)
+    A = jax.lax.cummax(jnp.where(anchor, ral, 0), axis=1)
+    V = jnp.take_along_axis(rlk, jnp.maximum(idxf, 0), axis=1)
+    ks = jnp.arange(1, n_like + 1, dtype=A.dtype)
+
+    def one(A_e, V_e):
+        j = jnp.searchsorted(A_e, ks, side="right") - 1
+        jc = jnp.maximum(j, 0)
+        ok = (j >= 0) & (A_e[jc] > 0)
+        return jnp.where(ok, V_e[jc], 0.0)
+
+    return jax.vmap(one)(A, V)
+
+
 class FusedCache:
     """Jitted fused programs: fill(s) + backtrace in ONE device call — each
     dispatch through the tunnel costs real latency, and the host needs only
@@ -150,23 +176,75 @@ class FusedCache:
     def fwd_dev(self, width, dtype):
         """Like fwd(), but win0/refills built ON DEVICE from the geometry —
         the engine path (H2D per call shrinks to the int32 band starts).
-        Returns only (best [E], ral, rlk): the full lattices/step bytes stay
-        internal to the program so XLA can free them at program exit instead
-        of keeping ~C*E*W*10 bytes alive as returned device arrays."""
+        Returns (best [E], ral, rlk, likes [E, n_like]): the full lattices /
+        step bytes stay internal to the program, and per-base likes are
+        computed on device so the host never reads rlk on the hot path (the
+        tunnel D2H is ~42 MB/s; rlk alone is ~10 MB/call)."""
         key = ("fwd_dev", width, str(dtype))
         if key not in self._fns:
             fill = get_fill(width, dtype, need_steps=True)
             W = 2 * width + 1
 
-            def go(batch, states, i0, i1, is_pad, off, t_pad=0, max_steps=0):
+            def go(batch, states, i0, i1, is_pad, off, t_pad=0, max_steps=0,
+                   n_like=8):
                 w0, rf = device_window_inputs(batch, i0, False, W)
                 r = fill(batch, states, i0, i1, w0, rf, is_pad, off, False)
                 ral, rlk = backtrace_core(r.M, r.S, r.steps_m, r.steps_s,
                                           r.i0, r.i1, r.best_i, r.best_j,
                                           t_pad, max_steps)
-                return r.best, ral, rlk
+                return r.best, ral, rlk, device_likes(ral, rlk, n_like)
 
-            self._fns[key] = jax.jit(go, static_argnames=("t_pad", "max_steps"))
+            self._fns[key] = jax.jit(
+                go, static_argnames=("t_pad", "max_steps", "n_like"))
+        return self._fns[key]
+
+    def fwd_likes(self, width, dtype):
+        """Candidate-scoring fill: fill + backtrace + device likes, returning
+        ONLY (best [E], likes [E, n_like]) — nothing [E, T]-sized crosses the
+        device boundary (candidate snapshots are discarded after their likes
+        are read, so ral/rlk never need to reach the host)."""
+        key = ("fwd_likes", width, str(dtype))
+        if key not in self._fns:
+            fill = get_fill(width, dtype, need_steps=True)
+            W = 2 * width + 1
+
+            def go(batch, states, i0, i1, is_pad, off, t_pad=0, max_steps=0,
+                   n_like=8):
+                w0, rf = device_window_inputs(batch, i0, False, W)
+                r = fill(batch, states, i0, i1, w0, rf, is_pad, off, False)
+                ral, rlk = backtrace_core(r.M, r.S, r.steps_m, r.steps_s,
+                                          r.i0, r.i1, r.best_i, r.best_j,
+                                          t_pad, max_steps)
+                return r.best, device_likes(ral, rlk, n_like)
+
+            self._fns[key] = jax.jit(
+                go, static_argnames=("t_pad", "max_steps", "n_like"))
+        return self._fns[key]
+
+    def fwd_likes_sharded(self, width, dtype, mesh, t_pad, max_steps, n_like):
+        """fwd_likes under shard_map over the engine mesh (events on 'ev')."""
+        key = ("fwd_likes_sh", width, str(dtype), mesh, t_pad, max_steps,
+               n_like)
+        if key not in self._fns:
+            from jax.sharding import PartitionSpec as PS
+
+            from ...parallel.mesh import shard_map
+            from .dp import EventBatch
+
+            inner = self.fwd_likes(width, dtype)
+
+            def go(batch, states, i0, i1, is_pad, off):
+                return inner(batch, states, i0, i1, is_pad, off,
+                             t_pad=t_pad, max_steps=max_steps, n_like=n_like)
+
+            ev, col_ev = PS("ev"), PS(None, "ev")
+            bspec = EventBatch(*([ev] * len(EventBatch._fields)))
+            f = shard_map(
+                go, mesh,
+                in_specs=(bspec, col_ev, ev, ev, col_ev, PS()),
+                out_specs=(ev, ev),
+            )
+            self._fns[key] = jax.jit(f)
         return self._fns[key]
 
     def both_dev(self, width, dtype):
@@ -229,9 +307,10 @@ class FusedCache:
             self._fns[key] = jax.jit(f)
         return self._fns[key]
 
-    def fwd_dev_sharded(self, width, dtype, mesh, t_pad, max_steps):
+    def fwd_dev_sharded(self, width, dtype, mesh, t_pad, max_steps, n_like):
         """fwd_dev under shard_map over the engine mesh (events on 'ev')."""
-        key = ("fwd_dev_sh", width, str(dtype), mesh, t_pad, max_steps)
+        key = ("fwd_dev_sh", width, str(dtype), mesh, t_pad, max_steps,
+               n_like)
         if key not in self._fns:
             from jax.sharding import PartitionSpec as PS
 
@@ -242,14 +321,15 @@ class FusedCache:
 
             def go(batch, states, i0, i1, is_pad, off):
                 return inner(batch, states, i0, i1, is_pad, off,
-                             t_pad=t_pad, max_steps=max_steps)
+                             t_pad=t_pad, max_steps=max_steps,
+                             n_like=n_like)
 
             ev, col_ev = PS("ev"), PS(None, "ev")
             bspec = EventBatch(*([ev] * len(EventBatch._fields)))
             f = shard_map(
                 go, mesh,
                 in_specs=(bspec, col_ev, ev, ev, col_ev, PS()),
-                out_specs=(ev, ev, ev),
+                out_specs=(ev, ev, ev, ev),
             )
             self._fns[key] = jax.jit(f)
         return self._fns[key]

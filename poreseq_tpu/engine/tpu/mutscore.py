@@ -590,14 +590,17 @@ def score_mutations_multi(engine, datas, muts_list):
         Mf, Sf, Mb, Sb, bpf, bpb, ral, rlk = fused(
             *fused_args, t_pad=T, max_steps=max_steps)
     ral = np.asarray(ral, dtype=np.float64)
-    rlk = np.asarray(rlk, dtype=np.float64)
+    defer = getattr(engine, "_defer_rlk", None)
     e = 0
     for r, data in enumerate(datas):
         for ev in data.events:
             if participate[r] and arrays["active"][e]:
                 n = int(n0[e])
                 ev.ref_align = ral[e, :n].copy()
-                ev.ref_like = rlk[e, :n].copy()
+                if defer is not None:
+                    defer(ev, rlk, e)   # read at the next sync point
+                else:
+                    ev.ref_like = np.asarray(rlk, np.float64)[e, :n].copy()
             e += 1
 
     i0f = jnp.asarray(fi["i0"])

@@ -3,8 +3,18 @@
 Implements the subset of pysam the reference loader uses
 (/root/reference/poreseq/LoadData.py:81-137): AlignmentFile(fetch),
 references, record.query_name / is_reverse / cigar / get_aligned_pairs /
-get_overlap.  Files are BGZF (multi-member gzip) per the SAM/BAM spec;
-fetch() is a linear scan (no .bai index needed at our scales).
+get_overlap.  Files are BGZF (multi-member gzip) per the SAM/BAM spec.
+
+Pod-feeding behavior (many regions per process, multi-kb reads):
+  * AlignmentFile.cached(path) keeps the parsed file across region loads —
+    a --region-batch run decompresses and parses the BAM once, not once per
+    region;
+  * sequences decode lazily (numpy nibble unpack) — records rejected by the
+    overlap filter never pay for their seq;
+  * fetch() filters with vectorized pos/end arrays instead of per-record
+    Python; aligned_pairs_matched() returns the (q, r) matched pairs as one
+    int64 array (the per-base tuple list of get_aligned_pairs is kept only
+    for pysam API compatibility).
 
 The writer emits spec-compliant BGZF BAM for the synthetic-data pipeline and
 round-trip tests.
@@ -13,8 +23,11 @@ round-trip tests.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
+
+import numpy as np
 
 # cigar op codes: MIDNSHP=X
 CMATCH, CINS, CDEL, CREF_SKIP, CSOFT_CLIP, CHARD_CLIP, CPAD, CEQUAL, CDIFF = range(9)
@@ -24,12 +37,13 @@ _ALIGNED_OPS = {CMATCH, CEQUAL, CDIFF}
 
 _SEQ_CODES = "=ACMGRSVTWYHKDBN"
 _SEQ_LOOKUP = {c: i for i, c in enumerate(_SEQ_CODES)}
+_SEQ_TRANS = bytes.maketrans(bytes(range(16)), _SEQ_CODES.encode())
 
 
 class BamRecord:
     __slots__ = (
-        "query_name", "flag", "ref_id", "pos", "mapq", "cigar", "seq", "qual",
-        "reference_name",
+        "query_name", "flag", "ref_id", "pos", "mapq", "cigar", "qual",
+        "reference_name", "_seq", "_seqsrc",
     )
 
     def __init__(self):
@@ -39,9 +53,29 @@ class BamRecord:
         self.pos = -1
         self.mapq = 0
         self.cigar = []  # list of (op, length)
-        self.seq = ""
         self.qual = b""
         self.reference_name = None
+        self._seq = None
+        self._seqsrc = None   # (data, offset, l_seq) for lazy decode
+
+    @property
+    def seq(self) -> str:
+        if self._seq is None:
+            if self._seqsrc is None:
+                return ""
+            data, p, l_seq = self._seqsrc
+            nb = (l_seq + 1) // 2
+            packed = np.frombuffer(data[p : p + nb], dtype=np.uint8)
+            codes = np.empty(2 * nb, dtype=np.uint8)
+            codes[0::2] = packed >> 4
+            codes[1::2] = packed & 0xF
+            self._seq = codes[:l_seq].tobytes().translate(_SEQ_TRANS).decode(
+                "latin-1")
+        return self._seq
+
+    @seq.setter
+    def seq(self, value: str):
+        self._seq = value
 
     @property
     def is_reverse(self) -> bool:
@@ -53,6 +87,26 @@ class BamRecord:
 
     def reference_end(self) -> int:
         return self.pos + sum(l for op, l in self.cigar if op in _REF_OPS)
+
+    def aligned_pairs_matched(self) -> np.ndarray:
+        """Matched (query, ref) index pairs — the M/=/X columns of
+        get_aligned_pairs — as one [n, 2] int64 array."""
+        chunks = []
+        q = 0
+        r = self.pos
+        for op, ln in self.cigar:
+            if op in _ALIGNED_OPS:
+                i = np.arange(ln, dtype=np.int64)
+                chunks.append(np.stack([q + i, r + i], axis=1))
+                q += ln
+                r += ln
+            elif op in (CINS, CSOFT_CLIP):
+                q += ln
+            elif op in (CDEL, CREF_SKIP):
+                r += ln
+        if not chunks:
+            return np.zeros((0, 2), dtype=np.int64)
+        return np.concatenate(chunks, axis=0)
 
     def get_aligned_pairs(self):
         """pysam-compatible (qpos, rpos) pairs including gaps as None."""
@@ -92,8 +146,11 @@ class BamRecord:
         return n
 
 
+_FILE_CACHE: dict = {}
+
+
 class AlignmentFile:
-    """Read-only BAM file with linear-scan fetch."""
+    """Read-only BAM file; fetch filters with vectorized pos/end arrays."""
 
     def __init__(self, path: str, mode: str = "rb"):
         raw = open(path, "rb").read()
@@ -125,6 +182,26 @@ class AlignmentFile:
             rec = self._parse(data, off)
             self._records.append(rec)
             off += block_size
+        # vectorized fetch support
+        self._pos = np.array([r.pos for r in self._records], dtype=np.int64)
+        self._end = np.array([r.reference_end() for r in self._records],
+                             dtype=np.int64)
+        self._rid = np.array([r.ref_id for r in self._records],
+                             dtype=np.int64)
+        self._mapped = np.array([not r.is_unmapped for r in self._records])
+
+    @classmethod
+    def cached(cls, path: str) -> "AlignmentFile":
+        """Parsed-file cache keyed by (path, mtime, size): region-batch runs
+        decompress + parse the BAM once per file, not once per region."""
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        hit = _FILE_CACHE.get(key)
+        if hit is None:
+            _FILE_CACHE.clear()   # one big parsed BAM at a time
+            hit = cls(path)
+            _FILE_CACHE[key] = hit
+        return hit
 
     def _parse(self, data: bytes, off: int) -> BamRecord:
         (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, _nr, _np,
@@ -141,12 +218,7 @@ class AlignmentFile:
         rec.cigar = [(c & 0xF, c >> 4) for c in cig]
         p += 4 * n_cig
         nb = (l_seq + 1) // 2
-        seq = []
-        for i in range(l_seq):
-            b = data[p + i // 2]
-            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-            seq.append(_SEQ_CODES[code])
-        rec.seq = "".join(seq)
+        rec._seqsrc = (data, p, l_seq)   # lazy decode on .seq access
         p += nb
         rec.qual = data[p : p + l_seq]
         if 0 <= ref_id < len(self.references):
@@ -154,16 +226,19 @@ class AlignmentFile:
         return rec
 
     def fetch(self, reference=None, start=None, end=None):
-        for rec in self._records:
-            if rec.is_unmapped:
-                continue
-            if reference is not None and rec.reference_name != reference:
-                continue
-            if start is not None and rec.reference_end() <= start:
-                continue
-            if end is not None and rec.pos >= end:
-                continue
-            yield rec
+        keep = self._mapped.copy()
+        if reference is not None:
+            try:
+                rid = self.references.index(reference)
+            except ValueError:
+                rid = -2
+            keep &= self._rid == rid
+        if start is not None:
+            keep &= self._end > start
+        if end is not None:
+            keep &= self._pos < end
+        for i in np.nonzero(keep)[0]:
+            yield self._records[i]
 
     def close(self):
         pass

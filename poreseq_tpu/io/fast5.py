@@ -9,6 +9,8 @@ seeding, and complement-model flipping.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.events import Event, Model
@@ -80,6 +82,25 @@ def load_event(filename: str, typ: str) -> Event:
         if model.complement:
             ev.flip(False)
         return ev
+
+
+_EVENT_CACHE: dict = {}
+
+
+def load_event_cached(filename: str, typ: str) -> Event:
+    """load_event through a process-level cache: reads spanning several
+    regions of a --region-batch run parse their fast5 once.  Returns a
+    light copy (fresh ref_align/ref_like and model scalars) since callers
+    flip/remap/setparams the loaded event per region."""
+    st = os.stat(filename)
+    key = (os.path.abspath(filename), typ, st.st_mtime_ns, st.st_size)
+    ev = _EVENT_CACHE.get(key)
+    if ev is None:
+        if len(_EVENT_CACHE) >= 256:
+            _EVENT_CACHE.clear()
+        ev = load_event(filename, typ)
+        _EVENT_CACHE[key] = ev
+    return ev.light_copy()
 
 
 def load_events(filenames: list[str]) -> list[Event]:

@@ -17,7 +17,7 @@ from ..api import PSAlign
 from ..core.regions import RegionInfo
 from .bam import CHARD_CLIP, AlignmentFile
 from .fasta import load_reference
-from .fast5 import load_event
+from .fast5 import load_event_cached
 
 
 def load_aligned_events(
@@ -47,7 +47,7 @@ def load_aligned_events(
 
 def events_from_bam(eventdir: str, bamfile: str, reginfo: RegionInfo, params: dict):
     """EventsFromBAM (LoadData.py:67-153)."""
-    bam = AlignmentFile(bamfile, "rb")
+    bam = AlignmentFile.cached(bamfile)
 
     if reginfo.name is None:
         if bam.nreferences > 1:
@@ -82,8 +82,7 @@ def events_from_bam(eventdir: str, bamfile: str, reginfo: RegionInfo, params: di
     events = []
     for bamev in bamevents:
         evfile = os.path.join(eventdir, bamev.query_name)
-        ap = bamev.get_aligned_pairs()
-        aps = np.array([x for x in ap if x[0] is not None and x[1] is not None])
+        aps = bamev.aligned_pairs_matched()
         # hard-clip offset fix (LoadData.py:132-134)
         cig0 = bamev.cigar[0]
         if cig0[0] == CHARD_CLIP:
@@ -92,7 +91,7 @@ def events_from_bam(eventdir: str, bamfile: str, reginfo: RegionInfo, params: di
             aps[:, 1] -= reginfo.start
         for loc in ("t", "c"):
             try:
-                ev = load_event(evfile, loc)
+                ev = load_event_cached(evfile, loc)
                 if bamev.is_reverse:
                     ev.flip()
                 ev.mapaligns(aps)

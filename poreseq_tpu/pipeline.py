@@ -184,6 +184,7 @@ def _lockstep_consensus(sessions, params, reps, verbose):
         seqs_list = [[x.sequence for x in pa.events[::2]]
                      for _, pa, _ in sessions]
         mutate_datas(engine, datas, seqs_list, reps)
+        getattr(engine, "flush_ref_likes", lambda: None)()
         for (_, pa, refseq), data in zip(sessions, datas):
             data.sync_back(pa)
             if verbose > 0:
@@ -204,6 +205,7 @@ def _lockstep_consensus(sessions, params, reps, verbose):
                 if live[j] else []
                 for j in range(len(sessions))]
             mutate_datas(engine, datas, seqs_list, reps, live=live)
+            getattr(engine, "flush_ref_likes", lambda: None)()
             for j, (_, pa, _) in enumerate(sessions):
                 if live[j]:
                     datas[j].sync_back(pa)
@@ -211,6 +213,7 @@ def _lockstep_consensus(sessions, params, reps, verbose):
             datas = [AlignData.from_session(pa) for _, pa, _ in sessions]
             nbases = refine_datas(engine, datas, live=live,
                                   point_width=point_width)
+            getattr(engine, "flush_ref_likes", lambda: None)()
             for j, (_, pa, refseq) in enumerate(sessions):
                 if not live[j]:
                     continue
