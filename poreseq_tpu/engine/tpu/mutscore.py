@@ -80,11 +80,12 @@ def _join_shift(FM, FS, fa, fbest, BM, BS, ba, bbest, n0, smin, smax, dtype):
 _KERNELS = {}
 
 
-def _group_kernel(W, Ws, RS, K, P, DM, dtype):
+def _group_kernel(W, Ws, RS, K, P, DM, dtype, E_g=None):
     """Jitted start-group kernel (see _group_kernel_body)."""
-    key = (W, Ws, RS, K, P, DM, str(dtype))
+    key = (W, Ws, RS, K, P, DM, str(dtype), E_g)
     if key not in _KERNELS:
-        _KERNELS[key] = jax.jit(_group_kernel_body(W, Ws, RS, K, P, DM, dtype))
+        _KERNELS[key] = jax.jit(
+            _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g))
     return _KERNELS[key]
 
 
@@ -117,6 +118,7 @@ def _group_kernel_sharded(mesh, W, Ws, RS, K, P, DM, dtype):
                 col_ev, col_ev,            # bpf bpb [C+1, E]
                 ev,                        # ev_region
                 mut, mut, mut, mut,        # g_start g_startind g_S g_region
+                mut,                       # g_evoff (unused when E_g=None)
                 mut, mut, mut, mut,        # s_mlen s_nst s_win s_valid
                 PS(),                      # lik_offset
             ),
@@ -126,10 +128,17 @@ def _group_kernel_sharded(mesh, W, Ws, RS, K, P, DM, dtype):
     return _KERNELS[key]
 
 
-def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
+def _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g=None):
     """Kernel scanning over start-groups.  Static: rectangle widths W/Ws,
     anchor offset RS = realign-scoring >= 0, refill steps K, slots P, net
-    indel bound DM (join shift sets are RS +- DMAX*DM wide)."""
+    indel bound DM (join shift sets are RS +- DMAX*DM wide).
+
+    E_g: optional static event-slice width.  In multi-region batches a group
+    only touches its own region's events — slicing the region's contiguous
+    rows (start g_evoff, clamped; the region mask still applies) shrinks
+    every per-group array from the full batch E to E_g, an ~R-fold cut in
+    the kernel's HBM traffic.  None = no slicing (the shard_map path, where
+    rows are mesh-local)."""
 
     SH_STEP = tuple(range(0, DMAX + 1))
     SH_STEP_M1 = tuple(range(-1, DMAX))
@@ -139,15 +148,15 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
     FSMIN, FSMAX = -64, RS + 64 + DMAX       # wide-copy seam offset range
 
     def kernel(batch, Mf, Sf, Mb, Sb, i0f, i1f, i0r, i1r, bpf, bpb,
-               ev_region, g_start, g_startind, g_S, g_region,
+               ev_region, g_start, g_startind, g_S, g_region, g_evoff,
                s_mlen, s_nst, s_win, s_valid, lik_offset):
         """Mf/Sf/Mb/Sb [C+1, E, W] blank-extended, indexed by forward column;
         i0f/i1f [E, C+1] realign geometry; i0r/i1r [E, C+1] scoring-band
         geometry (post-backtrace, also the window anchors); bpf/bpb [C+1, E];
         ev_region [E] int32 region id per event; g_* [G] (g_S = the group's
         region sequence length-in-states, g_region its region id — events of
-        other regions are masked out of the group's delta sum); s_* [G, P(, K)].
-        Returns [G, P]."""
+        other regions are masked out of the group's delta sum; g_evoff its
+        first event row); s_* [G, P(, K)].  Returns [G, P]."""
         C1, E, _ = Mf.shape
         Q1 = i0r.shape[1]
         Tlev = batch.mean.shape[1]
@@ -170,27 +179,37 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
         win_lsr = _bw(batch.lsr, 0.0)
         NB = neg_big(dtype)
         rows = jnp.arange(Ws, dtype=jnp.int32)
-        n0 = batch.n0
-
-        lik_sk = batch.lik_skip[None, :, None]
-        lik_st = batch.lik_stay[None, :, None]
-        lik_ex = batch.lik_extend[None, :, None]
-        lik_in = batch.lik_insert[None, :, None]
 
         # model tables stacked once for the per-group state gather
         mt = jnp.stack([batch.lev_mean, batch.lev_stdv, batch.log_lev,
                         batch.sd_mean, batch.sd_lambda, batch.log_lambda])
 
         def group(xs):
-            start, startind, sS, greg, mlen, nst, winst, valid = xs
+            (start, startind, sS, greg, evoff, mlen, nst, winst,
+             valid) = xs
             st0 = jnp.clip(startind, 0, C1 - 1)
 
-            Mw = jax.lax.dynamic_index_in_dim(Mf, st0, 0, False)   # [E, W]
-            Sw = jax.lax.dynamic_index_in_dim(Sf, st0, 0, False)
-            wi0 = jax.lax.dynamic_index_in_dim(i0f, st0, 1, False)  # [E]
-            wi1 = jax.lax.dynamic_index_in_dim(i1f, st0, 1, False)
-            wbest = jax.lax.dynamic_index_in_dim(bpf, st0, 0, False)
+            if E_g is not None and E_g < E:
+                def sl(a, axis=0):
+                    return jax.lax.dynamic_slice_in_dim(a, evoff, E_g, axis)
+            else:
+                def sl(a, axis=0):
+                    return a
 
+            n0 = sl(batch.n0)
+            active_g = sl(batch.active)
+            evr_g = sl(ev_region)
+            lik_sk = sl(batch.lik_skip)[None, :, None]
+            lik_st = sl(batch.lik_stay)[None, :, None]
+            lik_ex = sl(batch.lik_extend)[None, :, None]
+            lik_in = sl(batch.lik_insert)[None, :, None]
+            mt_g = sl(mt, 1)
+
+            Mw = sl(jax.lax.dynamic_index_in_dim(Mf, st0, 0, False))  # [Eg,W]
+            Sw = sl(jax.lax.dynamic_index_in_dim(Sf, st0, 0, False))
+            wi0 = sl(jax.lax.dynamic_index_in_dim(i0f, st0, 1, False))  # [Eg]
+            wi1 = sl(jax.lax.dynamic_index_in_dim(i1f, st0, 1, False))
+            wbest = sl(jax.lax.dynamic_index_in_dim(bpf, st0, 0, False))
 
             nfill = jnp.clip(jnp.minimum(startind + mlen + 6, nst) - startind,
                              0, K)                                   # [P]
@@ -199,9 +218,9 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
                                       jnp.maximum(Lf, startind))     # [P]
             k_star = refind_used - startind - 1  # -1 -> join the copied col
 
-            # hoisted per-slot-state model values: [6, P, K, E]
+            # hoisted per-slot-state model values: [6, P, K, Eg]
             stc = jnp.clip(winst, 0, 1023)
-            mv = jnp.moveaxis(mt[:, :, stc], 1, 3)
+            mv = jnp.moveaxis(mt_g[:, :, stc], 1, 3)
 
             def step(scarry, k):
                 Mc, Sc, ci0, selM, selS, sa, sbest, cbest = scarry
@@ -210,11 +229,11 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
                 qw = jnp.clip(st0 + 1 + k, 0, Q1 - 1)
                 refind = startind + 1 + k
 
-                i0c = jax.lax.dynamic_index_in_dim(i0r, q, 1, False)  # [E]
-                i1c = jax.lax.dynamic_index_in_dim(i1r, q, 1, False)
-                mwv = jax.lax.dynamic_index_in_dim(win_mean, qw, 0, False)
-                swv = jax.lax.dynamic_index_in_dim(win_stdv, qw, 0, False)
-                lwv = jax.lax.dynamic_index_in_dim(win_lsr, qw, 0, False)
+                i0c = sl(jax.lax.dynamic_index_in_dim(i0r, q, 1, False))
+                i1c = sl(jax.lax.dynamic_index_in_dim(i1r, q, 1, False))
+                mwv = sl(jax.lax.dynamic_index_in_dim(win_mean, qw, 0, False))
+                swv = sl(jax.lax.dynamic_index_in_dim(win_stdv, qw, 0, False))
+                lwv = sl(jax.lax.dynamic_index_in_dim(win_lsr, qw, 0, False))
 
                 i = i0c[:, None] + rows[None, :]                   # [E, Ws]
                 in_band = i <= i1c[:, None]
@@ -233,7 +252,8 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
                 pmWx = shift_select2(Mw, o - 1, FSMIN - 1, FSMAX, Ws + 1)
                 pmWm1 = pmWx[:, :Ws]
                 pmW = pmWx[:, 1:]
-                d = jnp.broadcast_to((i0c - ci0)[None, :], (P, E))
+                d = jnp.broadcast_to((i0c - ci0)[None, :],
+                                     (P, i0c.shape[0]))
                 pmN = shift_select(Mc, d, SH_STEP)
                 pmNm1 = shift_select(Mc, d - 1, SH_STEP_M1)
 
@@ -275,11 +295,12 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
                 return (Mc2, Sc2, ci02, selM2, selS2, sa2, sbest2,
                         cbest2), None
 
-            zsP = jnp.zeros((P, E, Ws), dtype)
+            E_eff = Mw.shape[0]
+            zsP = jnp.zeros((P, E_eff, Ws), dtype)
             init = (zsP, zsP, wi0 + RS, zsP, zsP,
-                    jnp.broadcast_to(wi0 + RS, (P, E)),
-                    jnp.broadcast_to(wbest, (P, E)),
-                    jnp.broadcast_to(wbest, (P, E)))
+                    jnp.broadcast_to(wi0 + RS, (P, E_eff)),
+                    jnp.broadcast_to(wbest, (P, E_eff)),
+                    jnp.broadcast_to(wbest, (P, E_eff)))
             (Mc, Sc, ci0, selM, selS, sa, sbest, cbest), _ = jax.lax.scan(
                 step, init, jnp.arange(K, dtype=jnp.int32))
 
@@ -287,50 +308,54 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype):
             # column) vs the back column at rab = nst - refind_used + 1 ----
             rab_new = jnp.clip(nst - refind_used + 1, 0, sS)       # [P]
             q_b = jnp.clip(sS - rab_new + 1, 0, C1 - 1)
-            BM = jnp.stack([jax.lax.dynamic_index_in_dim(Mb, q_b[t], 0, False)
-                            for t in range(P)])                    # [P, E, W]
-            BS = jnp.stack([jax.lax.dynamic_index_in_dim(Sb, q_b[t], 0, False)
-                            for t in range(P)])
-            ba = jnp.stack([jax.lax.dynamic_index_in_dim(i0f, q_b[t], 1, False)
-                            for t in range(P)])                    # [P, E]
+            BM = jnp.stack(
+                [sl(jax.lax.dynamic_index_in_dim(Mb, q_b[t], 0, False))
+                 for t in range(P)])                               # [P, Eg, W]
+            BS = jnp.stack(
+                [sl(jax.lax.dynamic_index_in_dim(Sb, q_b[t], 0, False))
+                 for t in range(P)])
+            ba = jnp.stack(
+                [sl(jax.lax.dynamic_index_in_dim(i0f, q_b[t], 1, False))
+                 for t in range(P)])                               # [P, Eg]
             bbest = jnp.stack(
-                [jax.lax.dynamic_index_in_dim(bpb, q_b[t], 0, False)
-                 for t in range(P)])                               # [P, E]
+                [sl(jax.lax.dynamic_index_in_dim(bpb, q_b[t], 0, False))
+                 for t in range(P)])                               # [P, Eg]
 
             new_n = _join_shift(selM, selS, sa, sbest, BM, BS, ba, bbest,
-                                n0[None], JMIN, JMAX, dtype)       # [P, E]
-            new_w = _join_shift(jnp.broadcast_to(Mw, (P, E, Mw.shape[-1])),
-                                jnp.broadcast_to(Sw, (P, E, Sw.shape[-1])),
-                                jnp.broadcast_to(wi0, (P, E)),
-                                jnp.broadcast_to(wbest, (P, E)),
-                                BM, BS, ba, bbest, n0[None], CMIN, CMAX,
-                                dtype)
+                                n0[None], JMIN, JMAX, dtype)       # [P, Eg]
+            new_w = _join_shift(
+                jnp.broadcast_to(Mw, (P, E_eff, Mw.shape[-1])),
+                jnp.broadcast_to(Sw, (P, E_eff, Sw.shape[-1])),
+                jnp.broadcast_to(wi0, (P, E_eff)),
+                jnp.broadcast_to(wbest, (P, E_eff)),
+                BM, BS, ba, bbest, n0[None], CMIN, CMAX,
+                dtype)
             new = jnp.where((k_star >= 0)[:, None], new_n, new_w)
 
             # ---- old score: fwd and back columns at the SAME forward column
             # max(start-3, 1) -> exact lag-0 elementwise join ----
             q_old = jnp.clip(jnp.maximum(start - 3, 1), 0, sS)
-            FMo = jax.lax.dynamic_index_in_dim(Mf, q_old, 0, False)
-            FSo = jax.lax.dynamic_index_in_dim(Sf, q_old, 0, False)
-            BMo = jax.lax.dynamic_index_in_dim(Mb, q_old, 0, False)
-            BSo = jax.lax.dynamic_index_in_dim(Sb, q_old, 0, False)
-            fao = jax.lax.dynamic_index_in_dim(i0f, q_old, 1, False)
-            fbo = jax.lax.dynamic_index_in_dim(bpf, q_old, 0, False)
-            bbo = jax.lax.dynamic_index_in_dim(bpb, q_old, 0, False)
+            FMo = sl(jax.lax.dynamic_index_in_dim(Mf, q_old, 0, False))
+            FSo = sl(jax.lax.dynamic_index_in_dim(Sf, q_old, 0, False))
+            BMo = sl(jax.lax.dynamic_index_in_dim(Mb, q_old, 0, False))
+            BSo = sl(jax.lax.dynamic_index_in_dim(Sb, q_old, 0, False))
+            fao = sl(jax.lax.dynamic_index_in_dim(i0f, q_old, 1, False))
+            fbo = sl(jax.lax.dynamic_index_in_dim(bpf, q_old, 0, False))
+            bbo = sl(jax.lax.dynamic_index_in_dim(bpb, q_old, 0, False))
             okF = _band_mask(fao, n0, FMo.shape[-1])
-            old = _join_lag0(FMo, FSo, fbo, BMo, BSo, bbo, okF)    # [E]
+            old = _join_lag0(FMo, FSo, fbo, BMo, BSo, bbo, okF)    # [Eg]
 
-            delta = new - old[None]                                # [P, E]
-            ok = (valid[:, None] & batch.active[None, :]
-                  & (ev_region == greg)[None, :])
+            delta = new - old[None]                                # [P, Eg]
+            ok = (valid[:, None] & active_g[None, :]
+                  & (evr_g == greg)[None, :])
             delta = jnp.where(ok, delta, 0.0)
             return jnp.sum(delta, axis=1)
 
         # GB independent groups per scan step (vmapped): amortizes the
         # per-op dispatch overhead that dominates at small shapes
         GB = 8
-        xs = (g_start, g_startind, g_S, g_region, s_mlen, s_nst, s_win,
-              s_valid)
+        xs = (g_start, g_startind, g_S, g_region, g_evoff, s_mlen, s_nst,
+              s_win, s_valid)
         G = g_start.shape[0]
         xs_r = jax.tree_util.tree_map(
             lambda a: a.reshape((G // GB, GB) + a.shape[1:]), xs)
@@ -501,6 +526,7 @@ def _pad_groups(parts, g_S_parts, g_region_parts, P=9):
         g_startind=np.zeros(G_pad, dtype=np.int32),
         g_S=np.zeros(G_pad, dtype=np.int32),
         g_region=np.full(G_pad, -1, dtype=np.int32),
+        g_evoff=np.zeros(G_pad, dtype=np.int32),
         s_mlen=np.zeros((G_pad, P), dtype=np.int32),
         s_nst=np.zeros((G_pad, P), dtype=np.int32),
         s_win=np.full((G_pad, P, K_all), -1, dtype=np.int32),
@@ -620,7 +646,11 @@ def score_mutations_multi(engine, datas, muts_list):
     all_muts = [m for r, muts in enumerate(muts_list) if participate[r]
                 for m in muts]
     K_all, D_all = _mut_buckets(all_muts)
-    parts, g_S_parts, g_region_parts, part_region = [], [], [], []
+    # region event offsets (rows are region-contiguous) for per-group slicing
+    ev_counts = np.bincount(ev_region[ev_region >= 0], minlength=len(datas))
+    ev_offs = np.concatenate([[0], np.cumsum(ev_counts)[:-1]]).astype(np.int32)
+    parts, g_S_parts, g_region_parts, g_evoff_parts = [], [], [], []
+    max_rev = 1
     for r, (data, muts) in enumerate(zip(datas, muts_list)):
         if not participate[r]:
             continue
@@ -629,23 +659,31 @@ def score_mutations_multi(engine, datas, muts_list):
         parts.append(part)
         g_S_parts.append(np.full(Gr, ctx["S_list"][r], np.int32))
         g_region_parts.append(np.full(Gr, r, np.int32))
-        part_region.append(r)
+        g_evoff_parts.append(np.full(Gr, ev_offs[r], np.int32))
+        max_rev = max(max_rev, int(ev_counts[r]))
     gp = _pad_groups(parts, g_S_parts, g_region_parts)
+    at = 0
+    for pg in g_evoff_parts:
+        gp["g_evoff"][at : at + len(pg)] = pg
+        at += len(pg)
     P = 9
 
     i0r_h, i1r_h = limited_geometry(post_ris, n0, S_e, C, p.scoring_width)
     i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
 
+    E = len(n0)
+    E_g = min(round_up(max_rev, 32), E)
     if mesh is not None:
         kern = _group_kernel_sharded(mesh, W, Ws, RS, K_all, P, D_all, dtype)
     else:
-        kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype)
+        kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype, E_g=E_g)
     totals_gp = np.asarray(kern(
         batch, Mf, Sf, Mb, Sb, i0f, i1f,
         jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,
         jnp.asarray(ev_region),
         jnp.asarray(gp["g_start"]), jnp.asarray(gp["g_startind"]),
         jnp.asarray(gp["g_S"]), jnp.asarray(gp["g_region"]),
+        jnp.asarray(gp["g_evoff"]),
         jnp.asarray(gp["s_mlen"]), jnp.asarray(gp["s_nst"]),
         jnp.asarray(gp["s_win"]), jnp.asarray(gp["s_valid"]),
         float(p.lik_offset),

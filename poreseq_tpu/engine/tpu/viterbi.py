@@ -147,11 +147,13 @@ def _obs_device(lvl, sd, valid, events):
 
 def _host_observations(events, skip_prob, stay_prob):
     """Per-position trimmed-mean observation log-likelihoods [R, 1024],
-    mirroring Viterbi.cpp:269-349 (vectorized; see _position_stats)."""
+    mirroring Viterbi.cpp:269-349 (vectorized; see _position_stats).
+    Returns a DEVICE array — the sweep consumes it in place (no D2H/H2D
+    round trip)."""
     lvl, sd, valid = _position_stats(events)
     if len(lvl) == 0:
-        return np.zeros((0, 1024))
-    return np.asarray(_obs_device(lvl, sd, valid, events))
+        return jnp.zeros((0, 1024))
+    return _obs_device(lvl, sd, valid, events)
 
 
 _SWEEP_CACHE = {}
@@ -225,11 +227,12 @@ def _viterbi_sweep(obs, n_real, skip_prob, stay_prob):
     _SWEEP_JIT = _SWEEP_CACHE[key]
     R = obs.shape[0]
     R_pad = ((R + 63) // 64) * 64
-    obs_p = np.zeros((R_pad, 1024))
-    obs_p[:R] = obs
+    obs_p = jnp.concatenate(
+        [jnp.asarray(obs), jnp.zeros((R_pad - R, 1024), jnp.asarray(obs).dtype)])
     valid = jnp.arange(R_pad) < n_real
-    init = (jnp.zeros(1024), jnp.full(1024, 1.0 / 1024.0))
-    (liks, _), (bps, fwds) = _SWEEP_JIT(init, jnp.asarray(obs_p), valid)
+    init = (jnp.zeros(1024, obs_p.dtype), jnp.full(1024, 1.0 / 1024.0,
+                                                   obs_p.dtype))
+    (liks, _), (bps, fwds) = _SWEEP_JIT(init, obs_p, valid)
     return liks, bps[:R], fwds[:R]
 
 
@@ -296,8 +299,8 @@ def viterbi_mutate_tpu(events, nkeep, skip_prob, stay_prob, mut_min, mut_max,
     T = jnp.asarray(_build_T(skip_prob, stay_prob))
     R = len(fwds)
     R_pad = ((R + 63) // 64) * 64
-    fwds_p = np.full((R_pad, 1024), 1.0 / 1024.0)
-    fwds_p[:R] = np.asarray(fwds)
+    fwds_p = jnp.concatenate(
+        [fwds, jnp.full((R_pad - R, 1024), 1.0 / 1024.0, fwds.dtype)])
 
     if "bt" not in _SWEEP_CACHE:
         def backtrace(T, fwds_j, valid, startst, atten, key):

@@ -89,7 +89,7 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
 
     def local_step(batch, states, i0, i1, win0f, reff, win0b, refb, is_pad,
                    i0r, i1r, ev_region, g_start, g_startind, g_S, g_region,
-                   s_mlen, s_nst, s_win, s_valid, lik_offset):
+                   g_evoff, s_mlen, s_nst, s_win, s_valid, lik_offset):
         resf = fill(batch, states, i0, i1, win0f, reff, is_pad, lik_offset,
                     False)
         resb = fill_ns(batch, states, i0, i1, win0b, refb, is_pad, lik_offset,
@@ -103,7 +103,7 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
         bpf = jnp.concatenate([zrow, resf.best_pfx])
         bpb = jnp.concatenate([zrow, resb.best_pfx])
         part = kern(batch, Mf, Sf, Mb, Sb, i0, i1, i0r, i1r, bpf, bpb,
-                    ev_region, g_start, g_startind, g_S, g_region,
+                    ev_region, g_start, g_startind, g_S, g_region, g_evoff,
                     s_mlen, s_nst, s_win, s_valid, lik_offset)
         totals = jax.lax.psum(part, "ev")
         scores = jnp.maximum(resf.best, resb.best)
@@ -126,6 +126,7 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
                 P("ev"),                  # ev_region
                 P("mut"), P("mut"),       # group scalars
                 P("mut"), P("mut"),       # g_S, g_region
+                P("mut"),                 # g_evoff
                 P("mut"), P("mut"), P("mut"), P("mut"),  # slot arrays
                 P(),
             ),

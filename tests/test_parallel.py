@@ -88,7 +88,7 @@ def test_sharded_step_matches_single_device():
         padE(gi["i0r"]), padE(gi["i1r"]),
         jnp.zeros(len(arrays["n0"]), jnp.int32),
         padG(gi["g_start"]), padG(gi["g_startind"]),
-        padG(gi["g_S"]), padG(gi["g_region"]),
+        padG(gi["g_S"]), padG(gi["g_region"]), padG(gi["g_evoff"]),
         padG(gi["s_mlen"]), padG(gi["s_nst"]), padG(gi["s_win"]),
         padG(gi["s_valid"]),
         4.5,
