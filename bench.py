@@ -79,7 +79,7 @@ def bench_e2e(deadline):
             "first_run_s": t1,
             "steady_run_s": dt,
             "n_regions": n_out,
-            "mean_accuracy_pct": float(np.mean(accs)) if accs else 0.0,
+            "mean_accuracy_pct": float(np.nanmean(accs)) if accs else 0.0,
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -219,7 +219,7 @@ def bench_fill_kernel():
 def main():
     """Inner measurement: e2e headline + secondary kernel metrics."""
     deadline = time.monotonic() + float(os.environ.get("PSQ_BENCH_BUDGET_S",
-                                                       1100))
+                                                       2200))
     if os.environ.get("PSQ_BENCH_CPU"):
         # CPU fallback: kernel-only (e2e at production widths is CPU-hours)
         k = bench_fill_kernel()
@@ -281,7 +281,7 @@ def _outer():
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"],
                 env={**env, **extra}, capture_output=True, text=True,
-                timeout=1200,
+                timeout=2400,
             )
             line = None
             for ln in out.stdout.splitlines():

@@ -115,7 +115,13 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
                 pairs = fillinds(p0)
             tasks.append((r, k, seq, pairs))
 
-    budget = max(int(getattr(engine, "wave_rows", 1024)), 1)
+    # row budget scales inversely with the sequence column count — the
+    # fill's HBM footprint is ~C*W*10 bytes per event row, and the chunk's C
+    # comes from its longest CANDIDATE sequence (read basecalls run well past
+    # the region length), not the region (wave_rows is calibrated for C=1024)
+    C_est = max((len(nd.sequence) for _, _, nd in todo), default=1024)
+    budget = max(int(getattr(engine, "wave_rows", 1024)) * 1024
+                 // max(C_est, 1024), 1)
     total_rows = sum(len(nd.events) for _, _, nd in todo)
     n_chunks = max(-(-total_rows // budget), 1) if todo else 0
     per_chunk = -(-len(todo) // n_chunks) if n_chunks else 0

@@ -22,6 +22,8 @@ TPU-first design (general gathers are ~25x slower than vector ops here):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,7 +84,8 @@ _KERNELS = {}
 
 def _group_kernel(W, Ws, RS, K, P, DM, dtype, E_g=None):
     """Jitted start-group kernel (see _group_kernel_body)."""
-    key = (W, Ws, RS, K, P, DM, str(dtype), E_g)
+    key = (W, Ws, RS, K, P, DM, str(dtype), E_g,
+           os.environ.get("PSQ_GB", "32"))
     if key not in _KERNELS:
         _KERNELS[key] = jax.jit(
             _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g))
@@ -94,7 +97,8 @@ def _group_kernel_sharded(mesh, W, Ws, RS, K, P, DM, dtype):
     per-shard partial deltas (sums over local events) are psum'd over 'ev'
     into mut-sharded totals — the multi-chip reduction of the reference's
     event-major score accumulation (cpp/MakeMutations.cpp:23-69)."""
-    key = ("sharded", mesh, W, Ws, RS, K, P, DM, str(dtype))
+    key = ("sharded", mesh, W, Ws, RS, K, P, DM, str(dtype),
+           os.environ.get("PSQ_GB", "32"))
     if key not in _KERNELS:
         from ...parallel.mesh import shard_map
         from jax.sharding import PartitionSpec as PS
@@ -352,8 +356,12 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g=None):
             return jnp.sum(delta, axis=1)
 
         # GB independent groups per scan step (vmapped): amortizes the
-        # per-op dispatch overhead that dominates at small shapes
-        GB = 8
+        # per-step fixed costs (gather setup, scan machinery) — with the
+        # event-sliced groups the per-group tensors are small, so wider
+        # blocks pay off for the narrow Refine shapes (Ws~41, K~7) but spill
+        # VMEM on the wide Mutate-round shapes (Ws~201, K 16-46)
+        gb_env = os.environ.get("PSQ_GB", "")
+        GB = int(gb_env) if gb_env else (32 if Ws * K <= 512 else 8)
         xs = (g_start, g_startind, g_S, g_region, g_evoff, s_mlen, s_nst,
               s_win, s_valid)
         G = g_start.shape[0]

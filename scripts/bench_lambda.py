@@ -25,6 +25,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -47,11 +49,13 @@ def main():
     d = tempfile.mkdtemp(prefix="psqlambda_")
     rng = np.random.default_rng(0)
     t0 = time.time()
-    # reads long enough that every 10 kb region keeps ~coverage overlap
+    # reads sized to the regions (levels of a read far outside a region are
+    # dead padding in the TPU batch) and numerous enough for ~coverage depth
+    read_len = args.region_length + 400
+    n_reads = max(args.coverage * args.genome // (2 * read_len), 4)
     truth, draft, reads_dir, bam, fasta = write_run(
-        d, rng, ref_len=args.genome,
-        n_reads=max((args.coverage // 2) * args.genome // 5000, 4),
-        read_len=5800, draft_error=args.draft_error)
+        d, rng, ref_len=args.genome, n_reads=n_reads,
+        read_len=read_len, draft_error=args.draft_error)
     sys.stderr.write("synthetic lambda built in {:.1f}s ({} bp)\n".format(
         time.time() - t0, args.genome))
 

@@ -17,6 +17,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -5,6 +5,7 @@ each parameter candidate's result equals running mutate() on it alone."""
 import os
 
 import numpy as np
+import pytest
 
 from poreseq_tpu.pipeline import mutate, train_candidates
 from poreseq_tpu.sim import write_run
@@ -30,6 +31,7 @@ def _candidates():
     return cands
 
 
+@pytest.mark.slow
 def test_train_candidates_lockstep_matches_sequential(tmp_path):
     d = str(tmp_path)
     rng = np.random.default_rng(123)
