@@ -62,7 +62,7 @@ def main():
         f.write(
             "realign_width = 300\nscoring_width = 100\npoint_width = 20\n"
             "min_coverage = 0\nmax_coverage = 30\nmin_overlap = 300\n"
-            "max_length = 10000\nlik_offset = 4.5\nend_trim = 0\n")
+            "max_length = 10000\nlik_offset = 4.5\n")
     rf = os.path.join(d, "regions.txt")
     regions = []
     for r in range(R):

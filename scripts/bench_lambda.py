@@ -63,7 +63,7 @@ def main():
     with open(conf, "w") as f:
         f.write("realign_width = 300\nscoring_width = 100\npoint_width = 20\n"
                 "min_coverage = 0\nmax_coverage = 30\nmin_overlap = 300\n"
-                "max_length = {}\nlik_offset = 4.5\nend_trim = 0\n".format(
+                "max_length = {}\nlik_offset = 4.5\n".format(
                     args.region_length))
 
     # the reference pipeline's region split (1 kb overlap, split_fasta.py)
