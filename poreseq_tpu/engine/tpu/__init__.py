@@ -174,6 +174,12 @@ class TpuEngine:
 
     def _defer_rlk(self, ev, rlk_dev, row: int):
         self._rlk_pending[id(ev)] = (ev, rlk_dev, row)
+        # bound the HBM pinned by pending fills: API paths without a sync
+        # point (variant's per-sequence ScoreEvents, direct Score* calls)
+        # would otherwise pin one [E, T] device buffer per call forever.
+        # Flushing early is always safe — it only reads sooner.
+        if len({id(dev) for _, dev, _ in self._rlk_pending.values()}) > 4:
+            self.flush_ref_likes()
 
     def flush_ref_likes(self):
         """Materialize pending ref_like rows (one D2H read per distinct fill

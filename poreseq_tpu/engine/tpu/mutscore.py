@@ -82,10 +82,17 @@ def _join_shift(FM, FS, fa, fbest, BM, BS, ba, bbest, n0, smin, smax, dtype):
 _KERNELS = {}
 
 
+def _resolve_gb(Ws: int, K: int) -> int:
+    """Groups per scan step: PSQ_GB override, else shape-based default (wide
+    Mutate shapes spill VMEM at GB=32).  Resolved once here so the kernel
+    cache key always matches the blocking the body actually compiled with."""
+    gb_env = os.environ.get("PSQ_GB", "")
+    return int(gb_env) if gb_env else (32 if Ws * K <= 512 else 8)
+
+
 def _group_kernel(W, Ws, RS, K, P, DM, dtype, E_g=None):
     """Jitted start-group kernel (see _group_kernel_body)."""
-    key = (W, Ws, RS, K, P, DM, str(dtype), E_g,
-           os.environ.get("PSQ_GB", "32"))
+    key = (W, Ws, RS, K, P, DM, str(dtype), E_g, _resolve_gb(Ws, K))
     if key not in _KERNELS:
         _KERNELS[key] = jax.jit(
             _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g))
@@ -98,7 +105,7 @@ def _group_kernel_sharded(mesh, W, Ws, RS, K, P, DM, dtype):
     into mut-sharded totals — the multi-chip reduction of the reference's
     event-major score accumulation (cpp/MakeMutations.cpp:23-69)."""
     key = ("sharded", mesh, W, Ws, RS, K, P, DM, str(dtype),
-           os.environ.get("PSQ_GB", "32"))
+           _resolve_gb(Ws, K))
     if key not in _KERNELS:
         from ...parallel.mesh import shard_map
         from jax.sharding import PartitionSpec as PS
@@ -360,8 +367,7 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g=None):
         # event-sliced groups the per-group tensors are small, so wider
         # blocks pay off for the narrow Refine shapes (Ws~41, K~7) but spill
         # VMEM on the wide Mutate-round shapes (Ws~201, K 16-46)
-        gb_env = os.environ.get("PSQ_GB", "")
-        GB = int(gb_env) if gb_env else (32 if Ws * K <= 512 else 8)
+        GB = _resolve_gb(Ws, K)
         xs = (g_start, g_startind, g_S, g_region, g_evoff, s_mlen, s_nst,
               s_win, s_valid)
         G = g_start.shape[0]
@@ -427,9 +433,11 @@ def _mut_windows_fast(sequence, muts, K_all):
     starts = np.fromiter((m.start for m in muts), np.int64, N)
     lo = np.fromiter((len(m.orig) for m in muts), np.int64, N)
     lm = np.fromiter((len(m.mut) for m in muts), np.int64, N)
-    # past-the-end starts are no-ops (Sequence.h:38-59)
+    # past-the-end starts are no-ops, and orig spans running past the end are
+    # clamped to the in-sequence tail (Sequence.h:38-59 — apply_mutation's
+    # `tail = bases[start+len(orig):] or ""` deletes at most S0-start bases)
     noop = starts >= S0
-    lo = np.where(noop, 0, lo)
+    lo = np.minimum(lo, np.maximum(S0 - starts, 0))
     lm_eff = np.where(noop, 0, lm)
 
     Mmax = max(int(lm.max()), 1) if N else 1

@@ -43,9 +43,14 @@ def _position_stats(events):
     # the reference's loop runs past the last *spanned* position as long as
     # flank-extrapolated ref_index values still produce hits (nlik > 0), and
     # breaks only when nalhere == 0 AND nlik == 0 — so bound the range by the
-    # largest integral ref_index any event can hit
-    rmax = max(max(i[2], int(np.floor(i[0].max())) if len(i[0]) else i[2])
-               for i in infos)
+    # largest integral ref_index any event can hit.  update_refs emits NaN
+    # ref_index values for degenerate single-anchor events (0/0 flank slope);
+    # those never match an integer position, so drop them from the bound.
+    def _ri_max(ri, re):
+        m = ri[np.isfinite(ri)]
+        return int(np.floor(m.max())) if len(m) else re
+
+    rmax = max(max(i[2], _ri_max(i[0], i[2])) for i in infos)
     n_r = rmax - rmin + 1
 
     lvl = np.zeros((n_r, E))

@@ -129,3 +129,64 @@ def test_tpu_viterbi_deterministic_matches_exact():
     se = ExactEngine().viterbi_mutate(data.events, 0, 0.05, 0.01, 0.33, 0.75)
     st = viterbi_mutate_tpu(pa.events, 0, 0.05, 0.01, 0.33, 0.75)
     assert len(st) == 1 and st[0] == se[0]
+
+
+def test_mut_windows_fast_tail_clamp():
+    # mutations whose orig span runs past the sequence end must clamp the
+    # deleted span to the in-sequence tail (Sequence.h:38-59) — reachable via
+    # deferred-conflict re-scoring after an accepted deletion shortened the
+    # sequence.  The fast vectorized window builder must match the literal
+    # apply_mutation + seq_to_states path.
+    from poreseq_tpu.core.regions import MutationInfo
+    from poreseq_tpu.core.sequence import apply_mutation, seq_to_states
+    from poreseq_tpu.engine.tpu.mutscore import (_mut_buckets,
+                                                 _mut_windows_fast)
+
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), size=40))
+    S0 = len(seq)
+    muts = []
+    for start in [S0 - 6, S0 - 3, S0 - 2, S0 - 1, S0, S0 + 2, 5, 20]:
+        for orig_len in [0, 1, 3, 5, 8]:
+            orig = seq[start : start + orig_len] if start < S0 else ""
+            if start < S0 and start + orig_len > S0:
+                # over-running orig: pad with bases past the end
+                orig = seq[start:] + "A" * (start + orig_len - S0)
+            for mut in ["", "G", "TTC"]:
+                mi = MutationInfo()
+                mi.start, mi.orig, mi.mut = start, orig, mut
+                muts.append(mi)
+    K_all, _ = _mut_buckets(muts)
+    st_fast, nst_fast = _mut_windows_fast(seq, muts, K_all)
+    for i, m in enumerate(muts):
+        mutseq = apply_mutation(seq, m.start, m.orig, m.mut)
+        nst = max(len(mutseq) - 4, 0)
+        si = max(m.start - 4, 0)
+        wl = len(m.mut) + 6
+        w = seq_to_states(mutseq)[si : si + wl]
+        exp = np.full(K_all, -1, dtype=np.int32)
+        exp[: len(w)] = w
+        assert nst_fast[i] == nst, (i, m)
+        np.testing.assert_array_equal(st_fast[i], exp, err_msg=str((i, m)))
+
+
+def test_defer_rlk_bounded():
+    # Score* API paths with no sync point must not pin unbounded device
+    # buffers: the pending map flushes itself past 4 distinct fill outputs
+    from poreseq_tpu.engine.tpu import TpuEngine
+
+    eng = TpuEngine.__new__(TpuEngine)
+    eng._rlk_pending = {}
+
+    class Ev:
+        def __init__(self):
+            self.mean = np.zeros(3)
+            self.ref_like = None
+
+    evs = [Ev() for _ in range(8)]
+    for i, ev in enumerate(evs):
+        eng._defer_rlk(ev, np.full((2, 3), float(i)), 0)
+    assert len({id(d) for _, d, _ in eng._rlk_pending.values()}) <= 4
+    eng.flush_ref_likes()
+    assert not eng._rlk_pending
+    assert all(ev.ref_like is not None for ev in evs)

@@ -53,6 +53,25 @@ def test_position_stats_matches_literal_walk(seed):
         np.testing.assert_allclose(sd[t][ks], sdv, rtol=0, atol=1e-12)
 
 
+def test_position_stats_single_anchor_event():
+    # an event with exactly one positive ref_align anchor makes update_refs
+    # emit NaN ref_index values (0/0 flank slope); the packer must tolerate
+    # it like the literal walk does (NaN never matches an integer position)
+    rng = np.random.default_rng(7)
+    pa, _ = simulate_session(rng, ref_len=160, coverage=5)
+    ev = pa.events[1]
+    pos = np.nonzero(ev.ref_align > 0)[0]
+    keep = pos[len(pos) // 2]
+    ra = ev.ref_align
+    ra[(ra > 0) & (np.arange(len(ra)) != keep)] = 0
+    rows = _literal_rows(pa.events)
+    lvl, sd, valid = _position_stats(pa.events)
+    assert len(rows) == len(lvl)
+    for t, (_, ks, lv, sdv) in enumerate(rows):
+        assert list(np.nonzero(valid[t])[0]) == ks
+        np.testing.assert_allclose(lvl[t][ks], lv, rtol=0, atol=1e-12)
+
+
 def test_position_stats_nonmonotone_fallback():
     # scramble one event's seed alignment so its positive entries are
     # non-monotone: the fallback walk must still match the literal loop
