@@ -67,13 +67,18 @@ def bench_e2e(deadline):
         dt = t1
         # steady-state reruns while the budget allows (first run is
         # compile-laden; chip/tunnel timing variance between runs is real,
-        # so report the best steady run)
+        # so the headline uses the best steady run, with the median of all
+        # steady runs reported alongside so the JSON isn't the most
+        # favorable draw only)
+        steady = []
         while time.monotonic() + dt * 1.2 < deadline:
             t = run_once()
+            steady.append(t)
             if t >= dt:
                 dt = min(dt, t)
                 break
             dt = t
+        med = float(np.median(steady)) if steady else t1
 
         seqs = read_fasta(out)
         # regions are draft coordinates; widen the truth window so draft
@@ -88,6 +93,9 @@ def bench_e2e(deadline):
             "s_per_region": dt / max(n_out, 1),
             "first_run_s": t1,
             "steady_run_s": dt,
+            "steady_run_median_s": med,
+            "s_per_region_median": med / max(n_out, 1),
+            "n_steady_runs": len(steady),
             "n_regions": n_out,
             "mean_accuracy_pct": float(np.nanmean(accs)) if accs else 0.0,
         }

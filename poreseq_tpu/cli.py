@@ -65,6 +65,15 @@ def main(argv=None):
                             help="multi-chip device mesh for the tpu backend"
                             " (e.g. '8' or '4x2'; 'auto' = all devices on"
                             " the event axis)")
+    parse_cons.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                            help="jax.distributed coordinator address for "
+                            "multi-host runs (or set PSQ_COORDINATOR); "
+                            "regions are dealt round-robin across processes "
+                            "and each process writes OUTPUT.pN")
+    parse_cons.add_argument("--num-processes", type=int, default=None,
+                            help="total processes in the multi-host run")
+    parse_cons.add_argument("--process-id", type=int, default=None,
+                            help="this process's index in the multi-host run")
     parse_cons.set_defaults(func=consensus)
 
     parse_var = subparsers.add_parser("variant", help="call sequence variants")
@@ -170,9 +179,25 @@ def _consensus(args):
     args.params["verbose"] = args.verbose
     regions = parse_regions(args)
 
-    # multi-host region sharding: the TPU-era equivalent of the reference's
-    # manual .region file splitting (README.md:48-62) — workers deal regions
-    # round-robin and the outputs are `poreseq merge`d afterwards
+    # multi-host execution (jax.distributed): initialized when a coordinator
+    # is given (--coordinator / PSQ_COORDINATOR) — each process corrects a
+    # round-robin region shard and writes OUTPUT.pN; `poreseq merge` joins
+    # them, replacing the reference's manual cluster .region-file mode
+    # (/root/reference/README.md:48-62)
+    from .parallel.distributed import init_multihost, shard_regions
+
+    pid, nproc = init_multihost(getattr(args, "coordinator", None),
+                                getattr(args, "num_processes", None),
+                                getattr(args, "process_id", None))
+    if nproc > 1:
+        regions = shard_regions(regions, pid, nproc)
+        if args.output is not None:
+            args.output = "{}.p{}".format(args.output, pid)
+        sys.stderr.write("Process {}/{}: {} regions -> {}\n".format(
+            pid, nproc, len(regions), args.output or "stdout"))
+
+    # single-host manual sharding: the same topology without a coordinator
+    # (workers launched independently with --shard-index/--num-shards)
     if args.num_shards > 1:
         regions = regions[args.shard_index :: args.num_shards]
 
