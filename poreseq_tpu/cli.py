@@ -223,15 +223,37 @@ def _consensus(args):
 
     batch = max(int(getattr(args, "region_batch", 1) or 1), 1)
     if batch > 1:
-        from .pipeline import mutate_many
+        from concurrent.futures import ThreadPoolExecutor
 
-        def run_chunk(chunk, width):
+        from .pipeline import load_many, mutate_many
+
+        # one loader thread prefetches the NEXT chunk's BAM/fast5 loads while
+        # the device computes the current chunk (region loading was serial
+        # with compute — part of the host floor named in PERF.md); only the
+        # top-level pass prefetches, halving retries reload via the parsed
+        # caches (a failed attempt may have mutated its loaded sessions)
+        loader = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="psq-load")
+
+        def load_part(part):
+            return load_many(args.ref, args.bam, args.dir, part,
+                             params=args.params, backend=args.backend)
+
+        def run_chunk(chunk, width, prefetch=False):
             """Lockstep-batch a chunk, halving the batch width on failure
             (device OOM at large widths is recoverable at smaller ones once
             the jit caches release the big programs' buffers); width 1 keeps
             the sequential skip-one-region error unit."""
-            for at in range(0, len(chunk), width):
-                part = chunk[at : at + width]
+            parts = [chunk[at : at + width]
+                     for at in range(0, len(chunk), width)]
+            fut = None
+            for pi, part in enumerate(parts):
+                loaded = None
+                if prefetch:
+                    loaded = (fut.result() if fut is not None
+                              else load_part(part))
+                    fut = (loader.submit(load_part, parts[pi + 1])
+                           if pi + 1 < len(parts) else None)
                 try:
                     if width == 1:
                         results = [mutate(
@@ -244,7 +266,7 @@ def _consensus(args):
                             args.ref, args.bam, args.dir, part,
                             params=args.params, test=args.test,
                             verbose=args.verbose, reps=args.iterations,
-                            backend=args.backend)
+                            backend=args.backend, loaded=loaded)
                 except Exception as e:
                     if width == 1:
                         sys.stderr.write(
@@ -269,7 +291,8 @@ def _consensus(args):
                     if res is not None:  # None = region skipped during load
                         emit(region, res[0], res[1])
 
-        run_chunk(regions, batch)
+        run_chunk(regions, batch, prefetch=True)
+        loader.shutdown(wait=False)
         return
 
     for region in regions:

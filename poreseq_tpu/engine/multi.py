@@ -88,45 +88,71 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
 
     # snapshot + host SW remap per (region, candidate); dedupe repeats of the
     # same candidate within a region (the per-region seqlikes cache serves
-    # later occurrences, like the sequential loop's wave ordering did)
+    # later occurrences, like the sequential loop's wave ordering did).
+    # The SW alignments are independent per (region, candidate) and the C
+    # core releases the GIL (ctypes), so they run on a thread pool — swfull
+    # was ~4 s of host-blocked time per steady batch-8 run (PERF.md) executed
+    # serially between device dispatches.
     from .exact.sw import fillinds, swfull
+    from .host import host_pool
 
-    tasks = []                        # (r, k, seq, pairs)
-    todo = []                         # (r, seq, newdata) needing a fill
+    jobs = []                         # (r, k, seq, fresh)
     seen = set()
     for r in range(R):
         if not live[r]:
             continue
         for k, seq in enumerate(seqs_list[r]):
-            if datas[r].seqlikes.get(seq) is None and (r, seq) not in seen:
-                # snapshot + remap events onto the candidate for its fill
-                newdata = AlignData(
-                    sequence=datas[r].sequence,
-                    events=[ev.light_copy() for ev in datas[r].events],
-                    params=datas[r].params,
-                )
-                _, pairs = engine.map_alignments(newdata, seq)
+            fresh = (datas[r].seqlikes.get(seq) is None
+                     and (r, seq) not in seen)
+            if fresh:
                 seen.add((r, seq))
-                todo.append((r, seq, newdata))
-            else:
-                # cached likes: only the SW pair map is needed (same pairs
-                # map_alignments would return; no event copies/remap)
-                _, p0, _ = swfull(datas[r].sequence, seq)
-                pairs = fillinds(p0)
-            tasks.append((r, k, seq, pairs))
+            jobs.append((r, k, seq, fresh))
+
+    def run_job(job):
+        r, k, seq, fresh = job
+        if fresh:
+            # snapshot + remap events onto the candidate for its fill
+            newdata = AlignData(
+                sequence=datas[r].sequence,
+                events=[ev.light_copy() for ev in datas[r].events],
+                params=datas[r].params,
+            )
+            _, pairs = engine.map_alignments(newdata, seq)
+            return (r, k, seq, pairs, newdata)
+        # cached likes: only the SW pair map is needed (same pairs
+        # map_alignments would return; no event copies/remap)
+        _, p0, _ = swfull(datas[r].sequence, seq)
+        return (r, k, seq, fillinds(p0), None)
+
+    done_jobs = list(host_pool().map(run_job, jobs))
+    tasks = [(r, k, seq, pairs) for (r, k, seq, pairs, _) in done_jobs]
+    todo = [(r, seq, nd) for (r, _, seq, _, nd) in done_jobs
+            if nd is not None]
 
     # row budget scales inversely with the sequence column count — the
-    # fill's HBM footprint is ~C*W*10 bytes per event row, and the chunk's C
+    # fill's HBM footprint is ~C*W*10 bytes per event row, and a chunk's C
     # comes from its longest CANDIDATE sequence (read basecalls run well past
-    # the region length), not the region (wave_rows is calibrated for C=1024)
-    C_est = max((len(nd.sequence) for _, _, nd in todo), default=1024)
-    budget = max(int(getattr(engine, "wave_rows", 1024)) * 1024
-                 // max(C_est, 1024), 1)
-    total_rows = sum(len(nd.events) for _, _, nd in todo)
-    n_chunks = max(-(-total_rows // budget), 1) if todo else 0
-    per_chunk = -(-len(todo) // n_chunks) if n_chunks else 0
-    for c0 in range(0, len(todo), max(per_chunk, 1)):
-        chunk = todo[c0 : c0 + per_chunk]
+    # the region length).  Shape-aware packing: candidates sorted by C so
+    # each chunk's budget reflects ITS longest member (short candidates don't
+    # pay the global bucket), which also groups same-shape candidates into
+    # the same compile bucket.  Results are order-independent (each candidate
+    # scores against its own snapshot; likes are keyed by (region, seq)).
+    wave_rows = int(getattr(engine, "wave_rows", 1024))
+    chunks = []
+    cur, cur_rows, cur_budget = [], 0, 0
+    for item in sorted(todo, key=lambda it: -len(it[2].sequence)):
+        rows = len(item[2].events)
+        if cur and cur_rows + rows > cur_budget:
+            chunks.append(cur)
+            cur, cur_rows = [], 0
+        if not cur:
+            C_chunk = max(len(item[2].sequence), 1024)
+            cur_budget = max(wave_rows * 1024 // C_chunk, rows)
+        cur.append(item)
+        cur_rows += rows
+    if cur:
+        chunks.append(cur)
+    for chunk in chunks:
         likes_list = [np.zeros(len(seq), dtype=np.float64)
                       for _, seq, _ in chunk]
         # likes_only: the snapshots are discarded after their likes are read,

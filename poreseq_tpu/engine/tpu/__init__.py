@@ -25,7 +25,8 @@ from ..types import AlignData, make_mutscores
 from ..exact.sw import map_alignments as _map_alignments
 from ...core.events import update_refs
 from .align import FILLS, FUSED, backtrace_device
-from .pack import fill_geometry, pack_events, round_up, to_device_batch
+from .pack import (event_ref_indexes, fill_geometry, pack_events,
+                   place_full, round_up, to_device_batch)
 
 
 def _mesh_from_env():
@@ -136,7 +137,7 @@ class TpuEngine:
         """Combined context for R regions: one packed batch, per-event states
         [C, E], per-event sequence lengths, region ids, padding mask."""
         events = [ev for d in datas for ev in d.events]
-        ref_indexes = [update_refs(ev.ref_align)[0] for ev in events]
+        ref_indexes = [event_ref_indexes(ev) for ev in events]
         batch, arrays, ref_indexes = self._batch_for(events, ref_indexes)
         n0 = arrays["n0"]
         E = len(n0)
@@ -191,7 +192,7 @@ class TpuEngine:
         for dev, items in by_arr.values():
             h = np.asarray(dev, dtype=np.float64)
             for ev, row in items:
-                ev.ref_like = h[row, : len(ev.mean)].copy()
+                ev.ref_like = place_full(ev, h[row])
         self._rlk_pending.clear()
 
     @staticmethod
@@ -276,9 +277,8 @@ class TpuEngine:
             S_r = ctx["S_list"][r]
             n_bases = len(data.sequence)
             for ev in data.events:
-                n = int(n0[e])
                 if ral is not None and arrays["active"][e]:
-                    ev.ref_align = ral[e, :n].copy()
+                    ev.ref_align = place_full(ev, ral[e])
                     self._defer_rlk(ev, rlk_dev, e)
                 scores.append(float(best[e]))
                 if likes_list[r] is not None:

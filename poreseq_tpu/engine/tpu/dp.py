@@ -218,7 +218,11 @@ def device_window_inputs(batch: EventBatch, i0, backward: bool, W: int):
         base = i0[:, 1:].astype(jnp.int32) - 1              # [E, C] heads
     else:
         srcs = (batch.mean, batch.stdv, batch.lsr)
-        anchor0 = jnp.zeros((E,), jnp.int32)
+        # window 0 anchored at the FIRST column's band start (the first
+        # column's slide is then 0; the blank column needs no window since
+        # its values are identically zero) — overhanging reads start their
+        # band mid-read instead of sliding up from level 0
+        anchor0 = i0[:, 1].astype(jnp.int32)
         base = i0[:, :-1].astype(jnp.int32) + (W - 1)       # [E, C] tails
     pad_vals = (0.0, 1.0, 0.0)
     r8 = jnp.arange(DMAX, dtype=jnp.int32)
@@ -440,7 +444,7 @@ def make_fill(width: int, dtype=jnp.float32, need_steps: bool = True):
             p0_init = jnp.zeros((E,), jnp.int32)
             p1_init = batch.n0.astype(jnp.int32)
         else:
-            wa0 = jnp.zeros((E,), jnp.int32)
+            wa0 = i0[:, 1].astype(jnp.int32)   # window 0 sits at column 1
             p0_init = jnp.zeros((E,), jnp.int32)
             p1_init = batch.n0.astype(jnp.int32)
         init = (

@@ -31,10 +31,10 @@ import numpy as np
 from ...core.sequence import apply_mutation, seq_to_states
 from ..types import AlignData, make_mutscores
 from .align import FUSED
-from ...core.events import update_refs
 from .dp import (DMAX, emission, column_solve, neg_big, shift_select,
                  shift_select2)
-from .pack import fill_geometry, limited_geometry, round_up
+from .pack import (event_ref_indexes, fill_geometry, limited_geometry,
+                   place_full, round_up)
 
 
 def _band_mask(anchor, n0, width):
@@ -80,6 +80,25 @@ def _join_shift(FM, FS, fa, fbest, BM, BS, ba, bbest, n0, smin, smax, dtype):
 
 
 _KERNELS = {}
+
+
+def _pallas_mode(dtype, mesh, E):
+    """Fused Pallas group scorer gating: PSQ_PALLAS_MUTSCORE=0 off, 1 force,
+    'interp' interpreter mode (CPU tests); default on for the f32
+    single-device TPU path (the f64 parity path and the mesh shard_map path
+    stay on the XLA kernel)."""
+    env = os.environ.get("PSQ_PALLAS_MUTSCORE", "")
+    if env == "0" or mesh is not None:
+        return None
+    if env == "interp":
+        return "interp"
+    if env == "1":
+        return "tpu"
+    import jax
+
+    if dtype == jnp.float32 and E <= 320 and jax.default_backend() == "tpu":
+        return "tpu"
+    return None
 
 
 def _resolve_gb(Ws: int, K: int) -> int:
@@ -633,16 +652,18 @@ def score_mutations_multi(engine, datas, muts_list):
             *fused_args, t_pad=T, max_steps=max_steps)
     ral = np.asarray(ral, dtype=np.float64)
     defer = getattr(engine, "_defer_rlk", None)
+    rlk_h = None
     e = 0
     for r, data in enumerate(datas):
         for ev in data.events:
             if participate[r] and arrays["active"][e]:
-                n = int(n0[e])
-                ev.ref_align = ral[e, :n].copy()
+                ev.ref_align = place_full(ev, ral[e])
                 if defer is not None:
                     defer(ev, rlk, e)   # read at the next sync point
                 else:
-                    ev.ref_like = np.asarray(rlk, np.float64)[e, :n].copy()
+                    if rlk_h is None:
+                        rlk_h = np.asarray(rlk, np.float64)
+                    ev.ref_like = place_full(ev, rlk_h[e])
             e += 1
 
     i0f = jnp.asarray(fi["i0"])
@@ -654,7 +675,7 @@ def score_mutations_multi(engine, datas, muts_list):
     e = 0
     for r, data in enumerate(datas):
         for ev in data.events:
-            post_ris.append(update_refs(ev.ref_align)[0]
+            post_ris.append(event_ref_indexes(ev)
                             if participate[r] else np.zeros(0))
             e += 1
     post_ris += [np.zeros(0)] * (len(n0) - len(post_ris))  # inactive padding
@@ -689,21 +710,31 @@ def score_mutations_multi(engine, datas, muts_list):
 
     E = len(n0)
     E_g = min(round_up(max_rev, 32), E)
-    if mesh is not None:
-        kern = _group_kernel_sharded(mesh, W, Ws, RS, K_all, P, D_all, dtype)
+    pmode = _pallas_mode(dtype, mesh, E)
+    if pmode is not None:
+        from .pallas_mutscore import score_groups_pallas
+
+        totals_gp = score_groups_pallas(
+            batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb, i0r_h, i1r_h,
+            ev_region, gp, arrays, float(p.lik_offset),
+            W, Ws, RS, K_all, P, D_all, interpret=(pmode == "interp"))
     else:
-        kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype, E_g=E_g)
-    totals_gp = np.asarray(kern(
-        batch, Mf, Sf, Mb, Sb, i0f, i1f,
-        jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,
-        jnp.asarray(ev_region),
-        jnp.asarray(gp["g_start"]), jnp.asarray(gp["g_startind"]),
-        jnp.asarray(gp["g_S"]), jnp.asarray(gp["g_region"]),
-        jnp.asarray(gp["g_evoff"]),
-        jnp.asarray(gp["s_mlen"]), jnp.asarray(gp["s_nst"]),
-        jnp.asarray(gp["s_win"]), jnp.asarray(gp["s_valid"]),
-        float(p.lik_offset),
-    ), dtype=np.float64)
+        if mesh is not None:
+            kern = _group_kernel_sharded(mesh, W, Ws, RS, K_all, P, D_all,
+                                         dtype)
+        else:
+            kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype, E_g=E_g)
+        totals_gp = np.asarray(kern(
+            batch, Mf, Sf, Mb, Sb, i0f, i1f,
+            jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,
+            jnp.asarray(ev_region),
+            jnp.asarray(gp["g_start"]), jnp.asarray(gp["g_startind"]),
+            jnp.asarray(gp["g_S"]), jnp.asarray(gp["g_region"]),
+            jnp.asarray(gp["g_evoff"]),
+            jnp.asarray(gp["s_mlen"]), jnp.asarray(gp["s_nst"]),
+            jnp.asarray(gp["s_win"]), jnp.asarray(gp["s_valid"]),
+            float(p.lik_offset),
+        ), dtype=np.float64)
 
     for g in range(gp["G"]):
         r = int(gp["g_region"][g])

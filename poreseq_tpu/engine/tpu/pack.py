@@ -25,6 +25,33 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def trim_range(ev: Event) -> tuple[int, int]:
+    """The event's packed level range: its trim hint (Event.trim) or the full
+    event."""
+    t = getattr(ev, "trim", None)
+    return (int(t[0]), int(t[1])) if t else (0, len(ev.mean))
+
+
+def event_ref_indexes(ev: Event) -> np.ndarray:
+    """Interpolated ref_index in PACKED (trimmed) level coordinates — the
+    band geometry input.  Trim keeps every alignment anchor, so the flank
+    extrapolation matches slicing the full update_refs output."""
+    lo, hi = trim_range(ev)
+    return update_refs(ev.ref_align[lo:hi])[0]
+
+
+def place_full(ev: Event, vals: np.ndarray) -> np.ndarray:
+    """Expand a packed per-level row (length >= the trimmed count) back to
+    the event's full level axis; trimmed-away levels read 0 (= unaligned,
+    exactly what the full-band DP yields for them)."""
+    lo, hi = trim_range(ev)
+    if lo == 0 and hi == len(ev.mean):
+        return np.asarray(vals[:hi], dtype=np.float64).copy()
+    full = np.zeros(len(ev.mean), dtype=np.float64)
+    full[lo:hi] = vals[: hi - lo]
+    return full
+
+
 def pack_events(events: list[Event], t_pad: int | None = None,
                 e_pad: int | None = None, e_div: int = 1):
     """Build the EventBatch arrays (numpy; cast to device later) and return
@@ -42,8 +69,9 @@ def pack_events(events: list[Event], t_pad: int | None = None,
     E = e_pad or (max(round_up(E_real, 32), 64) if E_real <= 128
                   else round_up(E_real, 128))
     E = round_up(E, max(e_div, 1))
+    trims = [trim_range(ev) for ev in events]
     n0 = np.ones(E, dtype=np.int32)
-    n0[:E_real] = [len(ev.mean) for ev in events]
+    n0[:E_real] = [hi - lo for lo, hi in trims]
     T = t_pad or round_up(int(n0.max()), 256)
 
     mean = np.zeros((E, T))
@@ -62,11 +90,16 @@ def pack_events(events: list[Event], t_pad: int | None = None,
 
     for e, ev in enumerate(events):
         n = n0[e]
-        mean[e, :n] = ev.mean
-        stdv[e, :n] = ev.stdv
-        lsd[e, :n] = np.log(ev.stdv)
-        lsr[e, :n] = np.log(ev.stdv)[::-1]
-        ri, rs, re = update_refs(ev.ref_align)
+        lo, hi = trims[e]
+        mean[e, :n] = ev.mean[lo:hi]
+        stdv[e, :n] = ev.stdv[lo:hi]
+        lsd[e, :n] = np.log(ev.stdv[lo:hi])
+        # forward inverse-Gaussian quirk input: the reference indexes
+        # log_stdv[n0 - i] with the FULL event's n0 (Alignment.cpp:171-172),
+        # so the packed row slices the reversed FULL array — values come from
+        # the mirror-image end of the read, not the trimmed window reversed
+        lsr[e, :n] = np.log(ev.stdv)[::-1][lo:hi]
+        ri = event_ref_indexes(ev)
         ref_indexes.append(ri)
         active[e] = len(ri) > 0
         m = ev.model
@@ -171,8 +204,8 @@ def fill_inputs(arrays: dict, ref_indexes, S: int, S_pad: int, width: int):
     fwd_srcs = (arrays["mean"], arrays["stdv"], arrays["lsr"])
     bwd_srcs = (arrays["mean"], arrays["stdv"], arrays["lsd"])
 
-    zeros_anchor = np.zeros(E, dtype=np.int64)
-    # forward: window 0 anchored at the blank column's start (i=0 -> idx r-1);
+    # forward: window 0 anchored at the FIRST column's band start (its slide
+    # is 0; the blank column's values are identically zero and need no data);
     # tails for column q refill from the PREVIOUS column's window end
     tail_base = i0p[:, :-1].astype(np.int64) + (W - 1)      # [E, S_pad]
     # backward: window 0 anchored at the frozen pad anchor; heads for column q
@@ -180,7 +213,7 @@ def fill_inputs(arrays: dict, ref_indexes, S: int, S_pad: int, width: int):
     head_base = i0p[:, 1:].astype(np.int64) - 1             # [E, S_pad]
 
     fwd = dict(
-        win0=tuple(window_at(s, zeros_anchor, pv)
+        win0=tuple(window_at(s, i0p[:, 1].astype(np.int64), pv)
                    for s, pv in zip(fwd_srcs, pad_vals)),
         refills=tuple(refill_arrays(s, tail_base, pv)
                       for s, pv in zip(fwd_srcs, pad_vals)),
@@ -212,7 +245,12 @@ def limited_geometry(ref_indexes, n0: np.ndarray, S, S_pad: int,
            else np.asarray(S, dtype=np.int64))
     S_max = int(S_e.max()) if E else 0
     i0, i1 = band_geometry(ref_indexes, n0, S_max, width, backward=False)
-    for j in range(1, S_max + 1):
+    # rate limit from the SECOND column on: column 1 anchors wherever its
+    # band belongs (the data window starts there, dp.make_fill wa0), so a
+    # read overhanging the region head — whose first in-band row sits
+    # thousands of levels in — does not spend hundreds of columns catching
+    # up at DMAX rows/column from the virtual blank column
+    for j in range(2, S_max + 1):
         np.minimum(i0[:, j], i0[:, j - 1] + DMAX, out=i0[:, j])
     i1 = np.minimum(i1, i0 + (W - 1))
 

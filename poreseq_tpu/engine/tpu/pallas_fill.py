@@ -201,6 +201,11 @@ def _kernel(backward: bool, need_steps: bool, W: int, NC: int,
         dw = i0c - p0                                          # [E, 1]
         sh_w = SH_BWD if backward else SH_FWD
         dw = jnp.clip(dw, sh_w[0], sh_w[-1])
+        if not backward and k == 0:
+            # the first processed column's window is pre-anchored at its own
+            # band start (win0, pack/dp) — the blank "previous column" anchor
+            # 0 must not slide it (overhanging reads start the band mid-read)
+            dw = jnp.where(c == 0, 0, dw)
         fw[:, :DMAX] = rfm_ref[k]
         mean_v = _shift_sel(wm_v, dw, sh_w, rows, fw[:])
         fw[:, :DMAX] = rfs_ref[k]

@@ -45,6 +45,37 @@ def load_aligned_events(
     return pa
 
 
+def _set_trim_hint(ev, reginfo: RegionInfo, params: dict) -> None:
+    """Band-reachable level range from the seed alignment (Event.trim).
+
+    A read overhanging a short region carries thousands of levels that can
+    never fall inside any banded-DP column (the band centers on the
+    interpolated alignment, half-width realign_width — Alignment.cpp:127-148)
+    — they pad the TPU batch time axis for nothing.  Levels outside every
+    band are never visited and stay unaligned either way, so slicing them is
+    exact-equivalent; the slack absorbs band drift across realign rounds.
+    PSQ_TRIM_EVENTS=0 disables."""
+    if os.environ.get("PSQ_TRIM_EVENTS", "1") == "0":
+        return
+    if reginfo.start is None or reginfo.end is None:
+        return
+    n = len(ev.mean)
+    S = (reginfo.end - reginfo.start) - 4          # region length in states
+    if S <= 0 or n < 1024:
+        return
+    from ..core.events import update_refs
+
+    width = int(params.get("realign_width", 300))
+    pad = width + 256
+    ri = update_refs(ev.ref_align)[0]
+    if len(ri) == 0 or not np.all(np.isfinite(ri)):
+        return
+    lo = max(int(np.searchsorted(ri, 1)) - width - pad, 0)
+    hi = min(int(np.searchsorted(ri, S, side="right")) + width + pad, n)
+    if hi > lo and hi - lo < n - 256:   # only slice when it saves real rows
+        ev.trim = (lo, hi)
+
+
 def events_from_bam(eventdir: str, bamfile: str, reginfo: RegionInfo, params: dict):
     """EventsFromBAM (LoadData.py:67-153)."""
     bam = AlignmentFile.cached(bamfile)
@@ -95,6 +126,7 @@ def events_from_bam(eventdir: str, bamfile: str, reginfo: RegionInfo, params: di
                 if bamev.is_reverse:
                     ev.flip()
                 ev.mapaligns(aps)
+                _set_trim_hint(ev, reginfo, params)
                 events.append(ev)
             except Exception as e:
                 print(str(e), file=sys.stderr)

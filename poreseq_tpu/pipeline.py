@@ -96,6 +96,30 @@ def mutate(
     return (pa.sequence, acc)
 
 
+def load_many(
+    fastafile: str,
+    bamfile: str,
+    fast5dir: str,
+    regions: list[str],
+    params: dict | None = None,
+    backend: str = "tpu",
+):
+    """Load several regions' sessions, one failure unit per region: returns
+    [(pa | None, error | None)] in region order.  Split out of mutate_many so
+    the CLI can PREFETCH the next chunk's loads on a thread while the device
+    computes the current chunk (host IO was serial with device work)."""
+    out = []
+    for region in regions:
+        try:
+            pa = load_aligned_events(fastafile, bamfile, fast5dir,
+                                     RegionInfo(region), dict(params or {}),
+                                     backend=backend)
+            out.append((pa, None))
+        except Exception as e:
+            out.append((None, str(e)))
+    return out
+
+
 def mutate_many(
     fastafile: str,
     bamfile: str,
@@ -106,13 +130,17 @@ def mutate_many(
     test: bool = False,
     reps: int = 4,
     backend: str = "tpu",
+    loaded: list | None = None,
 ):
     """Lockstep consensus of SEVERAL regions: one device program per round
     serves every region (engine/multi.py), the host control flow per region
     is identical to mutate().  Returns [(sequence, accuracy)] per region.
 
     This is the TPU replacement for the reference's one-job-per-region
-    cluster splitting (split_fasta.py, README.md:48-62)."""
+    cluster splitting (split_fasta.py, README.md:48-62).
+
+    loaded: optional pre-loaded [(pa | None, error | None)] from load_many
+    (the CLI prefetches the next chunk while the current one computes)."""
     from .engine.multi import mutate_datas, refine_datas
     from .engine.types import AlignData
 
@@ -122,18 +150,19 @@ def mutate_many(
     if test and verbose == 0:
         verbose = 1
 
+    if loaded is None:
+        loaded = load_many(fastafile, bamfile, fast5dir, regions, params,
+                           backend=backend)
+
     n = len(regions)
     results: list = [None] * n
     sessions = []          # (slot, pa, refseq)
     for i, region in enumerate(regions):
         # failure unit = one region, like the sequential CLI loop
         # (cmdline.py:182-188); a failed load skips only that region
-        try:
-            pa = load_aligned_events(fastafile, bamfile, fast5dir,
-                                     RegionInfo(region), params,
-                                     backend=backend)
-        except Exception as e:
-            sys.stderr.write("Skipping {}: {}\n".format(region, str(e)))
+        pa, err = loaded[i]
+        if pa is None:
+            sys.stderr.write("Skipping {}: {}\n".format(region, err))
             continue
         refseq = pa.sequence
         if len(pa.events) < 5:
@@ -224,11 +253,20 @@ def _lockstep_consensus(sessions, params, reps, verbose):
                 if nbases[j] == 0:
                     done[j] = True
 
-    for i, pa, refseq in sessions:
+    # final accuracy SW per region, parallel on the host pool (the C core
+    # releases the GIL; these are independent and were ~serial seconds per
+    # batch between the last device call and emit)
+    from .engine.host import host_pool
+
+    def _final(args):
+        i, pa, refseq = args
         seq = pa.sequence
         if "end_trim" in params and len(seq) > 2 * params["end_trim"]:
             seq = seq[int(params["end_trim"]) : -int(params["end_trim"])]
-        acc, inds = swalign(seq, refseq)
+        return seq, swalign(seq, refseq)
+
+    finals = list(host_pool().map(_final, sessions))
+    for (i, pa, refseq), (seq, (acc, inds)) in zip(sessions, finals):
         if verbose > 0:
             errs = np.sum(np.array(inds) == 0, 0)
             sys.stderr.write("Final accuracy: " + str(round(acc, 1)) + "%\n")
