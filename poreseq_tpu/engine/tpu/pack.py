@@ -53,15 +53,24 @@ def place_full(ev: Event, vals: np.ndarray) -> np.ndarray:
 
 
 def pack_events(events: list[Event], t_pad: int | None = None,
-                e_pad: int | None = None, e_div: int = 1):
+                e_pad: int | None = None, e_div: int = 1,
+                rows: list[int] | None = None, n_rows: int | None = None):
     """Build the EventBatch arrays (numpy; cast to device later) and return
     (batch_arrays dict, ref_indexes list).
 
     The event axis is padded to at least 64: this TPU's kernels are
     per-op-overhead-bound at small batch, and measured fill time is FLAT in E
     up to ~128 (E=60 runs faster in absolute time than E=20), so inactive
-    padding rows are pure win."""
-    E_real = len(events)
+    padding rows are pure win.
+
+    rows/n_rows: optional row placement — event i goes to row rows[i] of an
+    n_rows-row batch (gap rows stay inactive).  The multi-region mutation
+    path places regions at a UNIFORM stride so Pallas event blocks can index
+    a region's rows as block r of size stride."""
+    if rows is None:
+        rows = list(range(len(events)))
+        n_rows = len(events)
+    E_real = int(n_rows)
     # coarse event-axis buckets: 32-granular up to 128, then 128-granular —
     # every distinct E is a separate compiled program and candidate-chunk
     # batches (engine/multi.py) sweep large, varying row counts.  e_div: the
@@ -71,7 +80,8 @@ def pack_events(events: list[Event], t_pad: int | None = None,
     E = round_up(E, max(e_div, 1))
     trims = [trim_range(ev) for ev in events]
     n0 = np.ones(E, dtype=np.int32)
-    n0[:E_real] = [hi - lo for lo, hi in trims]
+    for ev_i, r in enumerate(rows):
+        n0[r] = trims[ev_i][1] - trims[ev_i][0]
     T = t_pad or round_up(int(n0.max()), 256)
 
     mean = np.zeros((E, T))
@@ -86,11 +96,12 @@ def pack_events(events: list[Event], t_pad: int | None = None,
     sd_lambda = np.ones((E, 1024))
     log_lambda = np.zeros((E, 1024))
     lik4 = np.zeros((E, 4))
-    ref_indexes = []
 
-    for e, ev in enumerate(events):
+    ref_indexes = [np.zeros(0, dtype=np.float64)] * E
+    for ev_i, ev in enumerate(events):
+        e = rows[ev_i]
         n = n0[e]
-        lo, hi = trims[e]
+        lo, hi = trims[ev_i]
         mean[e, :n] = ev.mean[lo:hi]
         stdv[e, :n] = ev.stdv[lo:hi]
         lsd[e, :n] = np.log(ev.stdv[lo:hi])
@@ -100,7 +111,7 @@ def pack_events(events: list[Event], t_pad: int | None = None,
         # the mirror-image end of the read, not the trimmed window reversed
         lsr[e, :n] = np.log(ev.stdv)[::-1][lo:hi]
         ri = event_ref_indexes(ev)
-        ref_indexes.append(ri)
+        ref_indexes[e] = ri
         active[e] = len(ri) > 0
         m = ev.model
         d = m.derived()
@@ -111,9 +122,6 @@ def pack_events(events: list[Event], t_pad: int | None = None,
         sd_lambda[e] = d["sd_lambda"]
         log_lambda[e] = d["log_lambda"]
         lik4[e] = [d["lik_skip"], d["lik_stay"], d["lik_extend"], d["lik_insert"]]
-
-    for _ in range(E - E_real):
-        ref_indexes.append(np.zeros(0, dtype=np.float64))
 
     arrays = dict(
         mean=mean, stdv=stdv, lsd=lsd, lsr=lsr,

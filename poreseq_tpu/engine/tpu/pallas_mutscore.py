@@ -92,25 +92,36 @@ def _narrow(x, V):
     r = jax.lax.broadcasted_iota(jnp.int32, (W, V), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (W, V), 1)
     sel = (r == c).astype(jnp.float32)
+    # HIGHEST precision: the default matmul precision truncates inputs to
+    # bfloat16 (preferred_element_type only fixes the OUTPUT dtype), which
+    # corrupts the copied values by ~1e-2 relative
     return jax.lax.dot_general(x, sel, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
-def _kernel(W, Ws, RS, K, P, C1, JMIN, JMAX, FSMIN, FSMAX,
-            # scalar-prefetch refs
-            st0_r, qold_r, qb_r, sind_r, greg_r, mlen_r, nst_r, nfill_r,
-            kst_r, sok_r, swin_r,
+def _kernel(W, Ws, RS, K, P, C1, JMIN, JMAX, FSMIN, FSMAX, debug,
+            # scalar-prefetch refs (ONLY what index maps need, plus two [G]
+            # rows — a [G, P, K] prefetch array blows the 1 MB SMEM budget)
+            st0_r, qold_r, qb_r, sind_r, greg_r,
             # inputs
             mw_ref, wm_ref, ws_ref, wl_ref, gi0_ref, gi1_ref,
             i0w_ref, i1w_ref, wb_ref, old_ref, mv_ref, emi_ref, emf_ref,
+            meta_ref,
             *rest):
     bM = rest[0:P]
     bS = rest[P:2 * P]
     bA = rest[2 * P:3 * P]
     bB = rest[3 * P:4 * P]
     bC = rest[4 * P:5 * P]
-    tot_ref = rest[5 * P]
-    (Mc, selM, selS, ci0s, sas, sbs, cbs, pwi, pwm1) = rest[5 * P + 1:]
+    rest = rest[5 * P:]
+    tot_ref = rest[0]
+    if debug:
+        new_ref, oldd_ref, sel_ref, sa_ref = rest[1:5]
+        rest = rest[5:]
+    else:
+        rest = rest[1:]
+    (Mc, selM, selS, ci0s, sas, sbs, cbs, pwi, pwm1) = rest
 
     g = pl.program_id(0)
     k = pl.program_id(1)
@@ -168,22 +179,35 @@ def _kernel(W, Ws, RS, K, P, C1, JMIN, JMAX, FSMIN, FSMAX,
     sind = sind_r[g]
     refind = sind + 1 + k
 
+    # per-(slot, table) model values: the [E, 6P] block keeps the lane dim
+    # wide (a [.., E, 1] HBM operand tile-pads its lane dim 128x); column
+    # t*6+j is extracted by a lane-mask reduce
+    mvb = mv_ref[0]                                        # [E, 6P]
+    mv_lanes = jax.lax.broadcasted_iota(jnp.int32, (E, 6 * P), 1)
+
+    def mv_at(c):
+        return jnp.sum(jnp.where(mv_lanes == c, mvb, 0.0), axis=1,
+                       keepdims=True)                      # [E, 1]
+
     any_act = None
     i0c_f = i0c
     for t in range(P):
-        stk = swin_r[g, t, k]
-        mlen_t = mlen_r[g, t]
-        nst_t = nst_r[g, t]
-        nfill_t = nfill_r[g, t]
+        # per-slot scalars from the per-(g,k) VMEM meta block (probe5:
+        # scalar int reads from VMEM work; SMEM cannot hold [G, P, K]-sized
+        # prefetch arrays, and [..., P, 1] operands tile-pad 128x in HBM)
+        stk = meta_ref[0, 5, t]
+        mlen_t = meta_ref[0, 0, t]
+        nst_t = meta_ref[0, 1, t]
+        nfill_t = meta_ref[0, 2, t]
         act_t = (k < mlen_t + 6) & (refind <= nst_t) & (k < nfill_t)
         any_act = act_t if any_act is None else jnp.logical_or(any_act, act_t)
 
-        lm = mv_ref[0, t * 6 + 0]                          # [E, 1]
-        ls = mv_ref[0, t * 6 + 1]
-        ll = mv_ref[0, t * 6 + 2]          # pre-folded with -lik_offset
-        smn = mv_ref[0, t * 6 + 3]
-        lam = mv_ref[0, t * 6 + 4]
-        llam = mv_ref[0, t * 6 + 5]
+        lm = mv_at(t * 6 + 0)                              # [E, 1]
+        ls = mv_at(t * 6 + 1)
+        ll = mv_at(t * 6 + 2)              # pre-folded with -lik_offset
+        smn = mv_at(t * 6 + 3)
+        lam = mv_at(t * 6 + 4)
+        llam = mv_at(t * 6 + 5)
         e_obs = emission(mwv, swv, lwv, lm, ls, ll, smn, lam, llam, 0.0)
         live = in_band & (stk >= 0)
         e_obs = jnp.where(live, e_obs, 0.0)
@@ -213,7 +237,7 @@ def _kernel(W, Ws, RS, K, P, C1, JMIN, JMAX, FSMIN, FSMAX,
             Mc[t] = Mn
             cbs[t] = bestn
 
-        hit_t = act_t & (k == kst_r[g, t])
+        hit_t = act_t & (k == meta_ref[0, 3, t])
 
         @pl.when(hit_t)
         def _hit(t=t, Mn=Mn, Sn=Sn, bestn=bestn):
@@ -232,6 +256,8 @@ def _kernel(W, Ws, RS, K, P, C1, JMIN, JMAX, FSMIN, FSMAX,
         old = old_ref[0]                                   # [E, 1]
         greg = greg_r[g]
         okm = (act_e > 0.5) & (evr == greg)                # [E, 1]
+        out_lanes = jax.lax.broadcasted_iota(jnp.int32, (E, 128), 1)
+        acc = jnp.zeros((E, 128), jnp.float32)
         for t in range(P):
             FM = selM[t]
             FS = selS[t]
@@ -249,9 +275,17 @@ def _kernel(W, Ws, RS, K, P, C1, JMIN, JMAX, FSMIN, FSMAX,
             sm = jnp.maximum(sm, sbs[t])
             sm = jnp.maximum(sm, bB[t][0])
             delta = sm - old
-            tot = jnp.sum(jnp.where(okm, delta, 0.0))
-            sok_t = sok_r[g, t]
-            tot_ref[0, t, 0] = jnp.where(sok_t > 0, tot, 0.0)
+            # per-event masked deltas land in lane t of a [E, 128] block
+            # (summed over events in XLA outside: Mosaic cannot store scalars
+            # to VMEM, and a [G, P, E, 1] output would tile-pad 128x in HBM)
+            ok_t = okm & (meta_ref[0, 4, t] > 0)
+            acc = acc + jnp.where((out_lanes == t) & ok_t, delta, 0.0)
+            if debug:
+                new_ref[0, t] = sm
+                oldd_ref[0] = old
+                sel_ref[0, t] = selM[t]
+                sa_ref[0, t] = sas[t]
+        tot_ref[0] = acc
 
 
 _FNS: dict = {}
@@ -260,7 +294,7 @@ _FNS: dict = {}
 def _get_fn(key):
     if key in _FNS:
         return _FNS[key]
-    (W, Ws, RS, K, P, C1, E, G, T, span, interpret) = key
+    (W, Ws, RS, K, P, C1, E, G, T, span, interpret, debug) = key
     JMIN, JMAX = -span, RS + span
     FSMIN, FSMAX = -64, RS + 64 + DMAX
     i32 = jnp.int32
@@ -268,7 +302,7 @@ def _get_fn(key):
     Q1 = C1
 
     kern = functools.partial(_kernel, W, Ws, RS, K, P, C1, JMIN, JMAX,
-                             FSMIN, FSMAX)
+                             FSMIN, FSMAX, debug)
 
     def e1(idx_map):
         return pl.BlockSpec((1, E, 1), idx_map, memory_space=pltpu.VMEM)
@@ -286,8 +320,10 @@ def _get_fn(key):
         return (qold[g], 0, 0)
 
     def at_qb(t):
+        # qb rides flattened [G*P]: SMEM pads a 2-D [G, P] minor dim to 128
+        # lanes, which blows the 1 MB SMEM budget at Refine-scale G
         def f(g, k, st0, qold, qb, *s):
-            return (qb[g, t], 0, 0)
+            return (qb[g * P + t], 0, 0)
         return f
 
     in_specs = [
@@ -301,13 +337,15 @@ def _get_fn(key):
         e1(at_st0),                                        # i1f @ st0
         e1(at_st0),                                        # bpf @ st0
         e1(at_qold),                                       # oldjoin @ q_old
-        pl.BlockSpec((1, 6 * P, E, 1),
-                     lambda g, k, *s: (g * K + k, 0, 0, 0),
+        pl.BlockSpec((1, E, 6 * P),
+                     lambda g, k, *s: (g * K + k, 0, 0),
                      memory_space=pltpu.VMEM),             # mv
         pl.BlockSpec((2, E, 1), lambda g, k, *s: (0, 0, 0),
                      memory_space=pltpu.VMEM),             # emi
         pl.BlockSpec((5, E, 1), lambda g, k, *s: (0, 0, 0),
                      memory_space=pltpu.VMEM),             # emf
+        pl.BlockSpec((1, 6, P), lambda g, k, *s: (g * K + k, 0, 0),
+                     memory_space=pltpu.VMEM),             # meta
     ]
     in_specs += [ew(at_qb(t)) for t in range(P)]           # back M
     in_specs += [ew(at_qb(t)) for t in range(P)]           # back S
@@ -315,12 +353,28 @@ def _get_fn(key):
     in_specs += [e1(at_qb(t)) for t in range(P)]           # bpb @ q_b
     in_specs += [e1(at_qb(t)) for t in range(P)]           # bcolmax @ q_b
 
+    out_specs = pl.BlockSpec((1, E, 128), lambda g, k, *s: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shapes = jax.ShapeDtypeStruct((G, E, 128), f32)
+    if debug:
+        out_specs = [out_specs, out_specs,
+                     pl.BlockSpec((1, E, 1), lambda g, k, *s: (g, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, P, E, Ws),
+                                  lambda g, k, *s: (g, 0, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, P, E, 1), lambda g, k, *s: (g, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [out_shapes, jax.ShapeDtypeStruct((G, P, E, 1), f32),
+                      jax.ShapeDtypeStruct((G, E, 1), f32),
+                      jax.ShapeDtypeStruct((G, P, E, Ws), f32),
+                      jax.ShapeDtypeStruct((G, P, E, 1), i32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=5,
         grid=(G, K),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, P, 1), lambda g, k, *s: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((P, E, Ws), f32),                   # Mc
             pltpu.VMEM((P, E, Ws), f32),                   # selM
@@ -335,7 +389,7 @@ def _get_fn(key):
     )
     call = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, P, 1), f32),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -386,7 +440,10 @@ def _get_fn(key):
             batch.log_lambda.astype(f32)])                      # [6, E, 1024]
         stc = jnp.clip(swin, 0, 1023)                           # [G, P, K]
         mv = mt[:, :, stc]                                      # [6,E,G,P,K]
-        mv = jnp.transpose(mv, (2, 4, 3, 0, 1)).reshape(G * K, P * 6, E, 1)
+        # [G*K, E, 6P] with column t*6+j: events in SUBLANES and the 54
+        # slot-table pairs in LANES — a [..., E, 1] operand would tile-pad
+        # its lane dim 128x in HBM (152 GB at Refine-8 scale)
+        mv = jnp.transpose(mv, (2, 4, 1, 3, 0)).reshape(G * K, E, P * 6)
 
         i0f_c = i0fT[:, :, None]
         i1f_c = i1f.astype(i32).T[:, :, None]
@@ -401,14 +458,24 @@ def _get_fn(key):
             batch.active.astype(f32), batch.lik_skip.astype(f32),
             batch.lik_stay.astype(f32), batch.lik_extend.astype(f32),
             batch.lik_insert.astype(f32)])[:, :, None]
+        # per-(g, k) scalar metadata: rows (mlen, nst, nfill, kst, sok,
+        # winst_k) — the per-g rows simply repeat along k
+        smeta = jnp.broadcast_to(
+            jnp.stack([mlen, nst, nfill, kst, sok], axis=1)[:, None],
+            (G, K, 5, P))
+        swink = jnp.transpose(swin, (0, 2, 1))[:, :, None, :]   # [G,K,1,P]
+        meta = jnp.concatenate([smeta, swink], axis=2).reshape(G * K, 6, P)
 
         args = ([Mf, win_m, win_s, win_l, gi0, gi1, i0f_c, i1f_c, bpf_c,
-                 old_c, mv, emi, emf]
+                 old_c, mv, emi, emf, meta]
                 + [Mb] * P + [Sb] * P + [i0f_c] * P + [bpb_c] * P
                 + [bcol_c] * P)
-        out = call(st0, qold, qb, sind, greg, mlen, nst, nfill, kst, sok,
-                   swin, *args)
-        return out[:, :, 0]
+        out = call(st0, qold, qb.reshape(-1), sind, greg, *args)
+        if debug:
+            tot, new, oldd, sel, sa = out
+            return (jnp.sum(tot[:, :, :P], axis=1), new[..., 0],
+                    oldd[..., 0], sel, sa[..., 0])
+        return jnp.sum(out[:, :, :P], axis=1)
 
     _FNS[key] = jax.jit(go)
     return _FNS[key]
@@ -498,7 +565,7 @@ def wide_fallback_totals(Mf, Sf, Mb, Sb, i0f, bpf, bpb, n0, active,
 
 def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
                         i0r_h, i1r_h, ev_region, gp, arrays, lik_offset,
-                        W, Ws, RS, K, P, DM, interpret=False):
+                        W, Ws, RS, K, P, DM, interpret=False, debug=False):
     """Full group-scoring totals [G, P] (numpy float64) via the fused Pallas
     kernel + the XLA fallback for flagged slots.  Drop-in replacement for the
     XLA group kernel's output in mutscore.score_mutations_multi."""
@@ -510,9 +577,9 @@ def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
     # join-lag slack: mirrors mutscore._group_kernel_body's span (the rate-
     # limit lag/clamp allowance on top of the DMAX*net-indel bound)
     span = DM * DMAX + 64
-    key = (W, Ws, RS, K, P, C1, E, G, T, span, bool(interpret))
+    key = (W, Ws, RS, K, P, C1, E, G, T, span, bool(interpret), bool(debug))
     fn = _get_fn(key)
-    totals = np.asarray(fn(
+    out = fn(
         jnp.asarray(hs["st0"]), jnp.asarray(hs["qold"]), jnp.asarray(hs["qb"]),
         jnp.asarray(hs["sind"]), jnp.asarray(hs["greg"]),
         jnp.asarray(hs["mlen"]), jnp.asarray(hs["nst"]),
@@ -520,7 +587,10 @@ def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
         jnp.asarray(hs["sok"]), jnp.asarray(gp["s_win"]),
         batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
         jnp.asarray(i0r_h), jnp.asarray(i1r_h),
-        jnp.asarray(ev_region), float(lik_offset)), np.float64)
+        jnp.asarray(ev_region), float(lik_offset))
+    if debug:
+        return out, hs
+    totals = np.asarray(out, np.float64)
 
     wide = wide_fallback_totals(Mf, Sf, Mb, Sb, i0f, bpf, bpb,
                                 arrays["n0"], arrays["active"], ev_region,

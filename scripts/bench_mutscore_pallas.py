@@ -36,10 +36,12 @@ def build_sessions(R, ref_len, coverage, seed=0):
 
 def point_muts(seq):
     from poreseq_tpu.engine.driver import find_point_mutations
-    from poreseq_tpu.engine.types import AlignData
+
+    class P:
+        verbose = 0
 
     class D:
-        pass
+        params = P()
 
     d = D()
     d.sequence = seq

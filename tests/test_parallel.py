@@ -107,3 +107,32 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s8), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tot1), np.asarray(tot8), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(acc1), np.asarray(acc8))
+
+
+@needs_devices
+@pytest.mark.slow
+def test_engine_mesh_consensus_matches_single_device_production_widths():
+    """Mesh==single-device consensus parity at the PRODUCTION band widths
+    (defaults.conf realign 300 / scoring 100 / point 20) — the shapes real
+    runs use, not toy bands.  Slow: full consensus twice on the virtual CPU
+    mesh at width 300."""
+    from poreseq_tpu.engine.tpu import TpuEngine
+    from poreseq_tpu.parallel.mesh import make_mesh
+    from poreseq_tpu.sim import simulate_session
+
+    params = dict(realign_width=300, scoring_width=100, point_width=20,
+                  verbose=0)
+
+    def run(mesh):
+        pa, truth = simulate_session(
+            np.random.default_rng(23), ref_len=1000, coverage=6,
+            draft_error=0.03, backend="tpu", params=dict(params))
+        pa._engine = TpuEngine(mesh=mesh)
+        pa.Mutate(reps=1)
+        pa.Mutate(seqs="viterbi", reps=1)
+        pa.Refine()
+        return pa.sequence
+
+    seq1 = run(None)
+    seq8 = run(make_mesh(n_ev=4, n_mut=2, devices=jax.devices()[:8]))
+    assert seq1 == seq8
