@@ -108,10 +108,13 @@ class TpuEngine:
              float(ev.model.prob_extend), float(ev.model.prob_insert))
             for ev in events)
 
-    def _batch_for(self, events, ref_indexes):
+    def _batch_for(self, events, ref_indexes, rows=None, n_rows=None):
         """Packed arrays + device batch for an event list, cached by content
-        fingerprint; `active` refreshed from the given ref_indexes."""
+        fingerprint; `active` refreshed from the given ref_indexes (already
+        ROW-placed when rows is given)."""
         fp = self._fingerprint(events)
+        if rows is not None:
+            fp = fp + (n_rows,) + tuple(rows)
         hit = self._bcache.get(fp)
         if hit is not None:
             batch, arrays = hit
@@ -125,7 +128,8 @@ class TpuEngine:
                 self._bcache[fp] = (batch, arrays)
         else:
             e_div = self.mesh.shape["ev"] if self.mesh is not None else 1
-            arrays, ref_indexes = pack_events(events, e_div=e_div)
+            arrays, ref_indexes = pack_events(events, e_div=e_div,
+                                              rows=rows, n_rows=n_rows)
             batch = to_device_batch(arrays, self.dtype)
             self._bcache[fp] = (batch, arrays)
             self._bcache_order.append(fp)
@@ -133,20 +137,41 @@ class TpuEngine:
                 self._bcache.pop(self._bcache_order.pop(0), None)
         return batch, arrays, ref_indexes
 
-    def _prepare_multi(self, datas: list[AlignData], participate=None):
+    def _prepare_multi(self, datas: list[AlignData], participate=None,
+                       stride=False):
         """Combined context for R regions: one packed batch, per-event states
-        [C, E], per-event sequence lengths, region ids, padding mask."""
+        [C, E], per-event sequence lengths, region ids, padding mask.
+
+        stride=True places each region's events at a UNIFORM row stride
+        (round_up(max region events, 8)) so the Pallas mutation kernel can
+        address region r's rows as event block r; gap rows stay inactive."""
         events = [ev for d in datas for ev in d.events]
-        ref_indexes = [event_ref_indexes(ev) for ev in events]
-        batch, arrays, ref_indexes = self._batch_for(events, ref_indexes)
+        if stride:
+            sw = round_up(max((len(d.events) for d in datas), default=1), 8)
+            rows = [r * sw + j for r, d in enumerate(datas)
+                    for j in range(len(d.events))]
+            n_rows = len(datas) * sw
+        else:
+            sw = None
+            rows = list(range(len(events)))
+            n_rows = len(events)
+        ris = [event_ref_indexes(ev) for ev in events]
+        ref_indexes = [np.zeros(0)] * n_rows
+        for ri, row in zip(ris, rows):
+            ref_indexes[row] = ri
+        batch, arrays, ref_indexes = self._batch_for(
+            events, ref_indexes, rows=rows if stride else None,
+            n_rows=n_rows if stride else None)
         n0 = arrays["n0"]
         E = len(n0)
 
         ev_region = np.full(E, -1, dtype=np.int32)
+        row_of = list(rows)
         at = 0
         for r, d in enumerate(datas):
-            ev_region[at : at + len(d.events)] = r
-            at += len(d.events)
+            for j in range(len(d.events)):
+                ev_region[rows[at]] = r
+                at += 1
 
         states_list = [seq_to_states(d.sequence) for d in datas]
         S_list = [len(s) for s in states_list]
@@ -155,10 +180,11 @@ class TpuEngine:
         C = round_up(max(S_list) + 8, 64)
         S_e = np.zeros(E, dtype=np.int64)
         states2 = np.full((C, E), -1, dtype=np.int32)
-        for e in range(len(events)):
+        for e in range(E):
             r = ev_region[e]
-            S_e[e] = S_list[r]
-            states2[: S_list[r], e] = states_list[r]
+            if r >= 0:
+                S_e[e] = S_list[r]
+                states2[: S_list[r], e] = states_list[r]
 
         if participate is not None:
             mask = np.array([participate[r] if r >= 0 else False
@@ -169,7 +195,8 @@ class TpuEngine:
 
         return dict(batch=batch, arrays=arrays, ref_indexes=ref_indexes,
                     n0=n0, E=E, ev_region=ev_region, S_list=S_list,
-                    S_e=S_e, C=C, states2=states2)
+                    S_e=S_e, C=C, states2=states2, row_of=row_of,
+                    stride=sw)
 
     # ---------------- deferred ref_like ----------------
 

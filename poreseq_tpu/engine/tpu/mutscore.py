@@ -83,20 +83,20 @@ _KERNELS = {}
 
 
 def _pallas_mode(dtype, mesh, E):
-    """Fused Pallas group scorer gating: PSQ_PALLAS_MUTSCORE=0 off, 1 force,
-    'interp' interpreter mode (CPU tests); default on for the f32
-    single-device TPU path (the f64 parity path and the mesh shard_map path
-    stay on the XLA kernel)."""
+    """Fused Pallas group scorer gating: PSQ_PALLAS_MUTSCORE=1 opt-in (TPU),
+    'interp' interpreter mode (CPU tests), default/0 = the XLA group kernel.
+
+    The fused kernel is hardware-correct (0 accept-sign flips across 64k
+    scores) but currently 0.6-0.9x the XLA kernel's speed: its per-slot
+    [EB, Ws] tiles are 2 vregs, so the body is instruction-issue bound —
+    folding the slot dim into sublanes ([P*EB, *] operand layouts) is the
+    known fix (see PERF.md).  Until it wins, it stays opt-in."""
     env = os.environ.get("PSQ_PALLAS_MUTSCORE", "")
     if env == "0" or mesh is not None:
         return None
     if env == "interp":
         return "interp"
     if env == "1":
-        return "tpu"
-    import jax
-
-    if dtype == jnp.float32 and E <= 320 and jax.default_backend() == "tpu":
         return "tpu"
     return None
 
@@ -626,7 +626,11 @@ def score_mutations_multi(engine, datas, muts_list):
     if not any(participate):
         return mutscores_list
 
-    ctx = engine._prepare_multi(datas, participate=participate)
+    # stride layout (uniform per-region rows) when the fused Pallas kernel
+    # may serve this call — it addresses region rows as event blocks
+    pmode = _pallas_mode(engine.dtype, getattr(engine, "mesh", None), 0)
+    ctx = engine._prepare_multi(datas, participate=participate,
+                                stride=pmode is not None)
     batch, arrays, n0 = ctx["batch"], ctx["arrays"], ctx["n0"]
     S_e, C, ev_region = ctx["S_e"], ctx["C"], ctx["ev_region"]
     p = datas[0].params
@@ -653,9 +657,12 @@ def score_mutations_multi(engine, datas, muts_list):
     ral = np.asarray(ral, dtype=np.float64)
     defer = getattr(engine, "_defer_rlk", None)
     rlk_h = None
-    e = 0
+    row_of = ctx["row_of"]
+    at = 0
     for r, data in enumerate(datas):
         for ev in data.events:
+            e = row_of[at]
+            at += 1
             if participate[r] and arrays["active"][e]:
                 ev.ref_align = place_full(ev, ral[e])
                 if defer is not None:
@@ -664,28 +671,32 @@ def score_mutations_multi(engine, datas, muts_list):
                     if rlk_h is None:
                         rlk_h = np.asarray(rlk, np.float64)
                     ev.ref_like = place_full(ev, rlk_h[e])
-            e += 1
 
     i0f = jnp.asarray(fi["i0"])
     i1f = jnp.asarray(fi["i1"])
 
     # post-backtrace scoring-band geometry (the reference recomputes band
     # centers from the refreshed ref_index, Alignment.cpp:131-132)
-    post_ris = []
-    e = 0
+    post_ris = [np.zeros(0)] * len(n0)
+    at = 0
     for r, data in enumerate(datas):
         for ev in data.events:
-            post_ris.append(event_ref_indexes(ev)
-                            if participate[r] else np.zeros(0))
-            e += 1
-    post_ris += [np.zeros(0)] * (len(n0) - len(post_ris))  # inactive padding
+            if participate[r]:
+                post_ris[row_of[at]] = event_ref_indexes(ev)
+            at += 1
 
     all_muts = [m for r, muts in enumerate(muts_list) if participate[r]
                 for m in muts]
     K_all, D_all = _mut_buckets(all_muts)
-    # region event offsets (rows are region-contiguous) for per-group slicing
+    # region event offsets for per-group slicing: uniform stride rows when
+    # strided, else cumulative counts
     ev_counts = np.bincount(ev_region[ev_region >= 0], minlength=len(datas))
-    ev_offs = np.concatenate([[0], np.cumsum(ev_counts)[:-1]]).astype(np.int32)
+    sw = ctx.get("stride")
+    if sw:
+        ev_offs = (np.arange(len(datas)) * sw).astype(np.int32)
+    else:
+        ev_offs = np.concatenate(
+            [[0], np.cumsum(ev_counts)[:-1]]).astype(np.int32)
     parts, g_S_parts, g_region_parts, g_evoff_parts = [], [], [], []
     max_rev = 1
     for r, (data, muts) in enumerate(zip(datas, muts_list)):
@@ -709,15 +720,16 @@ def score_mutations_multi(engine, datas, muts_list):
     i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
 
     E = len(n0)
-    E_g = min(round_up(max_rev, 32), E)
-    pmode = _pallas_mode(dtype, mesh, E)
-    if pmode is not None:
+    E_g = min(round_up(max(max_rev, sw or 1), 32), E)
+    from .pallas_mutscore import pallas_ok
+
+    if pmode is not None and pallas_ok(D_all, sw, Ws):
         from .pallas_mutscore import score_groups_pallas
 
         totals_gp = score_groups_pallas(
             batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb, i0r_h, i1r_h,
             ev_region, gp, arrays, float(p.lik_offset),
-            W, Ws, RS, K_all, P, D_all, interpret=(pmode == "interp"))
+            W, Ws, RS, K_all, P, D_all, sw, interpret=(pmode == "interp"))
     else:
         if mesh is not None:
             kern = _group_kernel_sharded(mesh, W, Ws, RS, K_all, P, D_all,

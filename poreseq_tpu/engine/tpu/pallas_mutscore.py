@@ -1,4 +1,4 @@
-"""Fused Pallas mutation group scorer (TPU).
+"""Fused Pallas mutation group scorer (TPU), v2.
 
 One `pallas_call` computes ALL start-groups' mutation delta-scores: the
 splice-and-refill trick of the reference (Alignment.cpp:447-512,
@@ -8,35 +8,43 @@ selected refill column with the precomputed backward lattice, and difference
 against the pre-mutation fwd x back join.
 
 This replaces the XLA scan kernel in mutscore.py for the f32 single-device
-path: that kernel is op-overhead bound (~122k small vector-op dispatches per
-Refine-scale call, ~2.3 s against a ~1 ms useful-FLOP speed of light —
-PERF.md).  Here the whole computation is one kernel with grid (G, K):
+path with net-indel bound D <= 4 (the dominant Refine and point-Mutate
+shapes); that kernel is op-overhead bound (~122k small vector-op dispatches
+per Refine-scale call, ~2.3 s against a ~10 ms speed of light — PERF.md).
 
-  * grid dim 0 walks start-groups, grid dim 1 the K refill columns; the
-    cross-column carry (previous refill column per slot, band anchor,
-    selected columns, running bests) lives in VMEM scratch;
-  * per-group data (the copied forward column at st0, the per-slot backward
-    columns at q_b, the scoring-width data windows and band geometry rows at
-    st0+1+k) is fetched straight from the HBM lattice stacks via
-    scalar-prefetch-driven BlockSpec index maps (probe A of
-    scripts/probe_pallas_mutscore2.py) — no [G, ...] gathers are ever
-    materialized;
-  * heavy per-column reductions that do NOT depend on the refill (the
-    old-score lag-0 join per column, the backward column's single-sided max)
-    are precomputed for every column in the XLA prologue and fetched as
-    [E, 1] rows;
+v1 of this kernel (grid (G, K), 58 operands) was hardware-correct but paid
+~90 us of per-step operand machinery across 57k grid steps.  v2 structure:
+
+  * grid (G,) — ONE step per group; the K refill columns run in an in-kernel
+    fori_loop with the carry (previous column per slot, band anchor,
+    selected columns, running bests) in registers (probe3);
+  * per-region EVENT BLOCKS: the multi-region batch places regions at a
+    uniform row stride EB (pack_events rows=), so every event-dim BlockSpec
+    index is just the group's region id — per-group tensors are [EB, *]
+    instead of the full batch [E, *] (~7x less compute and DMA);
+  * merged operands fetched via halo PAIRS of NW-aligned blocks with
+    dynamic leading-dim reads (probe E): one window+geometry array
+    [Q1, E, 3Ws+2], one per-column metadata array [C1, E, 8] (band starts,
+    prefix bests, the precomputed lag-0 old join, backward-column band max,
+    scoring-band starts), the wide copied column, and the RE-ANCHORED
+    backward lattice;
+  * the backward lattice is re-anchored to the scoring-band geometry in the
+    XLA prologue (BMn[q,e,r] = Mb[q,e,r-JS+i0r-i0f]), so the in-kernel join
+    shift is the residual |i0r[qf]-i0r[qb]| <= DMAX*D (rate-limited,
+    monotone geometry) instead of ~RS: back columns are fetched at width
+    Ws+2*JS instead of the full realign width;
   * all lane movement is static rolls + masked selects (the Mosaic rules
-    established by pallas_fill.py); variable per-event shifts use a 3-stage
-    (64/8/1) composed-roll select, and width conversions (realign width W ->
-    scoring width Ws) use an exact one-hot f32 matmul on the MXU (probe B).
+    established by pallas_fill.py); variable per-event shifts use staged
+    (64/8/1) composed-roll selects, and width conversions use an exact
+    one-hot f32 matmul on the MXU at HIGHEST precision (the default matmul
+    precision truncates inputs to bfloat16).
 
 Slots whose refill is empty (k_star < 0: mutations truncating the sequence
-at/before the window start — only tail-of-sequence mutations) need the
-full-width copied-column join; they are masked out of the kernel and scored
-by the existing XLA join on the (rare) flagged slots only.
+at/before the window start — only tail-of-sequence mutations) are masked out
+of the kernel and scored by the existing XLA join on the flagged slots only.
 
-f32 only; the f64 parity path and the mesh (shard_map) path stay on the XLA
-kernel in mutscore.py.
+f32 only; the f64 parity path, the mesh (shard_map) path and D=32 shapes
+stay on the XLA kernel in mutscore.py.
 """
 
 from __future__ import annotations
@@ -54,14 +62,15 @@ from .pallas_fill import _NB, _column_solve, _shift_sel, _shl, _shr
 
 SH_STEP = tuple(range(0, DMAX + 1))
 SH_STEP_M1 = tuple(range(-1, DMAX))
+NW = 16          # halo-block height (columns) for paired fetches
+NWC = 32         # halo-block height for the per-column metadata pairs
 
 
 def _shift3(x, s, smin, smax, rows):
     """out[e, r] = x[e, r + s[e]] for smin <= s[e] <= smax and 0 <= r+s < W,
-    else 0.  Three-stage (64 / 8 / 1) composed rolls: ~(range/64 + 16) rolls
-    instead of range/8 single-roll candidates.  Stage composition vacates the
-    top <= 63+7 lanes, so results are exact only for r < W - 71 — every
-    caller immediately narrows to Ws << W - 71 lanes."""
+    else 0.  Staged (64 / 8 / 1) composed rolls.  Stage composition vacates
+    the top <= 63+7 lanes, so results are exact only for r < W - 71 — every
+    caller immediately narrows to Ws <= W - 71 lanes."""
     W = x.shape[-1]
     tot = s - smin
     ok = (s >= smin) & (s <= smax)
@@ -84,208 +93,246 @@ def _shift3(x, s, smin, smax, rows):
     return jnp.where(ok, y, 0.0)
 
 
-def _narrow(x, V):
-    """Exact [E, W] -> [E, V] head-lane extraction via one-hot f32 matmul on
-    the MXU (strided lane slices CHECK-fail in Mosaic; a single-nonzero-per-
-    column f32 matmul reproduces the copy exactly — probe B)."""
-    W = x.shape[-1]
-    r = jax.lax.broadcasted_iota(jnp.int32, (W, V), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (W, V), 1)
-    sel = (r == c).astype(jnp.float32)
-    # HIGHEST precision: the default matmul precision truncates inputs to
-    # bfloat16 (preferred_element_type only fixes the OUTPUT dtype), which
-    # corrupts the copied values by ~1e-2 relative
-    return jax.lax.dot_general(x, sel, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+def _narrow(x, V, off=0):
+    """[E, W] -> [E, V]: lanes [off, off+V).  Static lane slices at fixed
+    offsets lower cleanly on this Mosaic (probed on hardware; the historic
+    CHECK failures were the slice+concat SHIFT idioms, not plain slices) —
+    the earlier one-hot-MXU fallback cost ~3 us per call and dominated the
+    kernel at ~40 narrows per group."""
+    return x[..., off:off + V]
 
 
-def _kernel(W, Ws, RS, K, P, C1, JMIN, JMAX, FSMIN, FSMAX, debug,
-            # scalar-prefetch refs (ONLY what index maps need, plus two [G]
-            # rows — a [G, P, K] prefetch array blows the 1 MB SMEM budget)
-            st0_r, qold_r, qb_r, sind_r, greg_r,
+def _lane(x, c):
+    """[E, L] -> [E, 1]: lane c (static slice)."""
+    return x[..., c:c + 1]
+
+
+def _pairsel(lo_ref, hi_ref, rel):
+    """Dynamic leading-dim read from a halo pair of NW-blocks: row `rel` of
+    the 2*NW-row window (rel a traced scalar in [0, 2*NW))."""
+    r0 = jnp.clip(rel, 0, NW - 1)
+    r1 = jnp.clip(rel - NW, 0, NW - 1)
+    return jnp.where(rel < NW, lo_ref[r0], hi_ref[r1])
+
+
+def _pairselc(lo_ref, hi_ref, rel):
+    """Same for the NWC-sized metadata pair."""
+    r0 = jnp.clip(rel, 0, NWC - 1)
+    r1 = jnp.clip(rel - NWC, 0, NWC - 1)
+    return jnp.where(rel < NWC, lo_ref[r0], hi_ref[r1])
+
+
+# colmeta lane assignments ([C1, E, 8] f32; ints are exact in f32 here)
+CM_I0F, CM_I1F, CM_BPF, CM_OLD, CM_BPB, CM_BCOL, CM_I0R = range(7)
+
+
+def _kernel(W, Ws, RS, K, P, C1, JS, debug,
+            # scalar-prefetch refs
+            st0_r, qold_r, qbb_r, sind_r, greg_r,
             # inputs
-            mw_ref, wm_ref, ws_ref, wl_ref, gi0_ref, gi1_ref,
-            i0w_ref, i1w_ref, wb_ref, old_ref, mv_ref, emi_ref, emf_ref,
-            meta_ref,
+            mw_ref, wg_lo, wg_hi, cm_lo, cm_hi,
+            bm_lo, bm_hi, bs_lo, bs_hi, mv_ref, meta_ref, emi_ref, emf_ref,
+            # outputs
             *rest):
-    bM = rest[0:P]
-    bS = rest[P:2 * P]
-    bA = rest[2 * P:3 * P]
-    bB = rest[3 * P:4 * P]
-    bC = rest[4 * P:5 * P]
-    rest = rest[5 * P:]
     tot_ref = rest[0]
     if debug:
         new_ref, oldd_ref, sel_ref, sa_ref = rest[1:5]
-        rest = rest[5:]
-    else:
-        rest = rest[1:]
-    (Mc, selM, selS, ci0s, sas, sbs, cbs, pwi, pwm1) = rest
 
     g = pl.program_id(0)
-    k = pl.program_id(1)
-    E = Mc.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (E, Ws), 1)
-    rows_w = jax.lax.broadcasted_iota(jnp.int32, (E, W), 1)
+    EB = tot_ref.shape[1]
+    WB = Ws + 2 * JS
+    rows = jax.lax.broadcasted_iota(jnp.int32, (EB, Ws), 1)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (EB, W), 1)
+    rows_wb = jax.lax.broadcasted_iota(jnp.int32, (EB, WB), 1)
+    i32 = jnp.int32
 
-    n0 = emi_ref[0]                                        # [E, 1] i32
+    st0 = st0_r[g]
+    qold = qold_r[g]
+    qbb = qbb_r[g]
+    sind = sind_r[g]
+    greg = greg_r[g]
+
+    n0 = emi_ref[0]                                        # [EB, 1] i32
     evr = emi_ref[1]
-    act_e = emf_ref[0]                                     # [E, 1] f32 0/1
+    act_e = emf_ref[0]                                     # [EB, 1] f32 0/1
     lik_sk = emf_ref[1]
     lik_st = emf_ref[2]
     lik_ex = emf_ref[3]
     lik_in = emf_ref[4]
-    wi0 = i0w_ref[0]                                       # [E, 1] i32
-    wi1 = i1w_ref[0]
-    wbest = wb_ref[0]                                      # [E, 1] f32
-    i0c = gi0_ref[0]
-    i1c = gi1_ref[0]
 
-    o = i0c - wi0
+    # group-shared per-column metadata at st0 / qold (halo pair around qold)
+    mc = jnp.maximum(qold - 3, 0) >> 5
+    cm_st0 = _pairselc(cm_lo, cm_hi, st0 - (mc << 5))      # [EB, 8]
+    cm_old = _pairselc(cm_lo, cm_hi, qold - (mc << 5))
+    wi0 = _lane(cm_st0, CM_I0F).astype(i32)
+    wi1 = _lane(cm_st0, CM_I1F).astype(i32)
+    wbest = _lane(cm_st0, CM_BPF)
+    old = _lane(cm_old, CM_OLD)
 
-    @pl.when(k == 0)
-    def _init():
-        z = jnp.zeros((P, E, Ws), jnp.float32)
-        Mc[:] = z
-        selM[:] = z
-        selS[:] = z
-        ci0s[:] = wi0 + RS
-        for t in range(P):
-            sas[t] = wi0 + RS
-            sbs[t] = wbest
-            cbs[t] = wbest
-        # wide first-column reads from the copied column (slot-independent):
-        # pmW[r] = Mw[r + o], pmWm1[r] = Mw[r + o - 1] (the two-stage seam
-        # slice of the XLA kernel, mutscore.py _group_kernel_body)
-        mw = mw_ref[0]                                     # [E, W]
-        pwi[:] = _narrow(_shift3(mw, o, FSMIN, FSMAX + 1, rows_w), Ws)
-        pwm1[:] = _narrow(_shift3(mw, o - 1, FSMIN - 1, FSMAX, rows_w), Ws)
+    # wide copied column (one dynamic row of the NW block at st0>>4)
+    mw = mw_ref[jnp.bitwise_and(st0, NW - 1)]              # [EB, W]
 
-    first = k == 0
-    ci0_prev = ci0s[:]                                     # [E, 1]
-    i = i0c + rows                                         # [E, Ws]
-    in_band = i <= i1c
-    mwv = wm_ref[0]                                        # [E, Ws]
-    swv = ws_ref[0]
-    lwv = wl_ref[0]
-    d = i0c - ci0_prev
-    p0 = jnp.where(first, wi0, ci0_prev)
-    p1 = jnp.where(first, wi1, ci0_prev + (Ws - 1))
-    valid_i = (i >= p0) & (i <= p1)
-    valid_ul = (i > p0) & (i <= p1)
+    mwin = (st0 + 1) >> 4
     cut = rows == 0
     floor0 = jnp.where(cut, _NB, 0.0)
-    sind = sind_r[g]
-    refind = sind + 1 + k
 
-    # per-(slot, table) model values: the [E, 6P] block keeps the lane dim
-    # wide (a [.., E, 1] HBM operand tile-pads its lane dim 128x); column
-    # t*6+j is extracted by a lane-mask reduce
-    mvb = mv_ref[0]                                        # [E, 6P]
-    mv_lanes = jax.lax.broadcasted_iota(jnp.int32, (E, 6 * P), 1)
+    # wide first-column prev reads, hoisted out of the fori body (they cost
+    # two staged W-wide shifts): pmW[r] = Mw[r + o0], pmWm1[r] = Mw[r+o0-1]
+    wg0 = _pairsel(wg_lo, wg_hi,
+                   jnp.maximum(jnp.minimum(st0 + 1, C1 - 1) - (mwin << 4), 0))
+    i0c0 = _lane(wg0, 3 * Ws).astype(i32)
+    o0 = i0c0 - wi0
+    FSMIN, FSMAX = -64, RS + 64 + DMAX
+    pwi0 = _narrow(_shift3(mw, o0, FSMIN, FSMAX + 1, rows_w), Ws)
+    pwm10 = _narrow(_shift3(mw, o0 - 1, FSMIN - 1, FSMAX, rows_w), Ws)
 
-    def mv_at(c):
-        return jnp.sum(jnp.where(mv_lanes == c, mvb, 0.0), axis=1,
-                       keepdims=True)                      # [E, 1]
+    zs = jnp.zeros((EB, Ws), jnp.float32)
 
-    any_act = None
-    i0c_f = i0c
-    for t in range(P):
-        # per-slot scalars from the per-(g,k) VMEM meta block (probe5:
-        # scalar int reads from VMEM work; SMEM cannot hold [G, P, K]-sized
-        # prefetch arrays, and [..., P, 1] operands tile-pad 128x in HBM)
-        stk = meta_ref[0, 5, t]
-        mlen_t = meta_ref[0, 0, t]
-        nst_t = meta_ref[0, 1, t]
-        nfill_t = meta_ref[0, 2, t]
-        act_t = (k < mlen_t + 6) & (refind <= nst_t) & (k < nfill_t)
-        any_act = act_t if any_act is None else jnp.logical_or(any_act, act_t)
+    # per-slot static metadata reads ([8, P] block)
+    mlen = [meta_ref[0, 0, t] for t in range(P)]
+    nst = [meta_ref[0, 1, t] for t in range(P)]
+    nfill = [meta_ref[0, 2, t] for t in range(P)]
+    kst = [meta_ref[0, 3, t] for t in range(P)]
+    sok = [meta_ref[0, 4, t] for t in range(P)]
+    qbrel = [meta_ref[0, 5, t] for t in range(P)]
 
-        lm = mv_at(t * 6 + 0)                              # [E, 1]
-        ls = mv_at(t * 6 + 1)
-        ll = mv_at(t * 6 + 2)              # pre-folded with -lik_offset
-        smn = mv_at(t * 6 + 3)
-        lam = mv_at(t * 6 + 4)
-        llam = mv_at(t * 6 + 5)
-        e_obs = emission(mwv, swv, lwv, lm, ls, ll, smn, lam, llam, 0.0)
-        live = in_band & (stk >= 0)
-        e_obs = jnp.where(live, e_obs, 0.0)
-
-        Mc_t = Mc[t]
-        pmN = _shift_sel(Mc_t, d, SH_STEP, rows)
-        pmNm1 = _shift_sel(Mc_t, d - 1, SH_STEP_M1, rows)
-        pm_i = jnp.where(first, pwi[:], pmN)
-        pm_im1 = jnp.where(first, pwm1[:], pmNm1)
-
-        skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_sk
-        match_c = jnp.where(valid_ul, pm_im1, 0.0) + e_obs
-        ignore_c = jnp.where(valid_ul, pm_im1 + lik_in, 0.0)
-        D = jnp.maximum(jnp.maximum(0.0, skip_c),
-                        jnp.maximum(match_c, ignore_c))
-        a_stay = e_obs + lik_st
-        a_ext = e_obs + lik_ex
-        Mn, Sn = _column_solve(D, a_stay, a_ext, lik_in, floor0, cut, rows,
-                               False)
-        Mn = jnp.where(live, Mn, 0.0)
-        Sn = jnp.where(live, Sn, 0.0)
-        cmax = jnp.max(jnp.where(live, Mn, _NB), axis=1, keepdims=True)
-        bestn = jnp.maximum(cmax, cbs[t])
-
-        @pl.when(act_t)
-        def _upd(t=t, Mn=Mn, bestn=bestn):
-            Mc[t] = Mn
-            cbs[t] = bestn
-
-        hit_t = act_t & (k == meta_ref[0, 3, t])
-
-        @pl.when(hit_t)
-        def _hit(t=t, Mn=Mn, Sn=Sn, bestn=bestn):
-            selM[t] = Mn
-            selS[t] = Sn
-            sas[t] = i0c_f
-            sbs[t] = bestn
-
-    @pl.when(any_act)
-    def _adv():
-        ci0s[:] = i0c_f
-
-    # ---- joins at the last refill column ----
-    @pl.when(k == K - 1)
-    def _joins():
-        old = old_ref[0]                                   # [E, 1]
-        greg = greg_r[g]
-        okm = (act_e > 0.5) & (evr == greg)                # [E, 1]
-        out_lanes = jax.lax.broadcasted_iota(jnp.int32, (E, 128), 1)
-        acc = jnp.zeros((E, 128), jnp.float32)
+    # per-column data read ONCE per k (dynamic-row pair select), held in
+    # registers across the slot loop; the shared band-anchor chain (advance
+    # when ANY slot is active) is pure scalar metadata, so it is computed
+    # up-front without any DP state
+    wg_k, i0c_k, i1c_k, ci0_k = [], [], [], []
+    ci0 = wi0 + RS
+    for k in range(K):
+        col = jnp.minimum(st0 + 1 + k, C1 - 1)
+        wg = _pairsel(wg_lo, wg_hi, jnp.maximum(col - (mwin << 4), 0))
+        i0c = _lane(wg, 3 * Ws).astype(i32)
+        wg_k.append(wg)
+        i0c_k.append(i0c)
+        i1c_k.append(_lane(wg, 3 * Ws + 1).astype(i32))
+        ci0_k.append(ci0)                 # anchor BEFORE step k
+        refind = sind + 1 + k
+        any_act = None
         for t in range(P):
-            FM = selM[t]
-            FS = selS[t]
-            fa = sas[t]
-            ba = bA[t][0]                                  # [E, 1] i32
-            s = fa - ba
-            BMs = _narrow(_shift3(bM[t][0], s, JMIN, JMAX, rows_w), Ws)
-            BSs = _narrow(_shift3(bS[t][0], s, JMIN, JMAX, rows_w), Ws)
-            crossA = jnp.maximum(FM + BMs, FS + BSs)
-            okF = (fa + rows >= 1) & (fa + rows <= n0)
-            sA = jnp.max(
-                jnp.where(okF, jnp.maximum(crossA, jnp.maximum(FM, FS)), 0.0),
-                axis=1, keepdims=True)
-            sm = jnp.maximum(jnp.maximum(sA, bC[t][0]), 0.0)
-            sm = jnp.maximum(sm, sbs[t])
-            sm = jnp.maximum(sm, bB[t][0])
-            delta = sm - old
-            # per-event masked deltas land in lane t of a [E, 128] block
-            # (summed over events in XLA outside: Mosaic cannot store scalars
-            # to VMEM, and a [G, P, E, 1] output would tile-pad 128x in HBM)
-            ok_t = okm & (meta_ref[0, 4, t] > 0)
-            acc = acc + jnp.where((out_lanes == t) & ok_t, delta, 0.0)
-            if debug:
-                new_ref[0, t] = sm
-                oldd_ref[0] = old
-                sel_ref[0, t] = selM[t]
-                sa_ref[0, t] = sas[t]
-        tot_ref[0] = acc
+            a = (k < mlen[t] + 6) & (refind <= nst[t]) & (k < nfill[t])
+            any_act = a if any_act is None else jnp.logical_or(any_act, a)
+        ci0 = jnp.where(any_act, i0c, ci0)
+
+    # ---- per-slot refill + join: one slot's state live at a time (the
+    # slot-major layout with 36 [EB, Ws] carries spilled registers and cost
+    # ~250 us/group; this form keeps ~6 small arrays live) ----
+    okm = (act_e > 0.5) & (evr == greg)                    # [EB, 1]
+    mb2 = qbb >> 4
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (EB, 128), 1)
+    acc = jnp.zeros((EB, 128), jnp.float32)
+    for t in range(P):
+        Mc = zs
+        selM = zs
+        selS = zs
+        sa = wi0 + RS
+        sbest = jnp.broadcast_to(wbest, (EB, 1))
+        cbest = jnp.broadcast_to(wbest, (EB, 1))
+        for k in range(K):
+            refind = sind + 1 + k
+            wg = wg_k[k]
+            i0c = i0c_k[k]
+            i1c = i1c_k[k]
+            mwv = _narrow(wg, Ws, 0)
+            swv = _narrow(wg, Ws, Ws)
+            lwv = _narrow(wg, Ws, 2 * Ws)
+            i = i0c + rows
+            in_band = i <= i1c
+            mvk = mv_ref[k]                                # [EB, 64]
+
+            stk = _lane(mvk, 54 + t)                       # [EB, 1] f32
+            act_t = ((k < mlen[t] + 6) & (refind <= nst[t])
+                     & (k < nfill[t]))
+
+            lm = _lane(mvk, t * 6 + 0)
+            ls = _lane(mvk, t * 6 + 1)
+            ll = _lane(mvk, t * 6 + 2)     # pre-folded with -lik_offset
+            smn = _lane(mvk, t * 6 + 3)
+            lam = _lane(mvk, t * 6 + 4)
+            llam = _lane(mvk, t * 6 + 5)
+            e_obs = emission(mwv, swv, lwv, lm, ls, ll, smn, lam, llam, 0.0)
+            live = in_band & (stk >= -0.5)
+            e_obs = jnp.where(live, e_obs, 0.0)
+
+            if k == 0:
+                pm_i = pwi0
+                pm_im1 = pwm10
+                p0, p1 = wi0, wi1
+            else:
+                d = i0c - ci0_k[k]
+                pm_i = _shift_sel(Mc, d, SH_STEP, rows)
+                pm_im1 = _shift_sel(Mc, d - 1, SH_STEP_M1, rows)
+                p0 = ci0_k[k]
+                p1 = ci0_k[k] + (Ws - 1)
+            valid_i = (i >= p0) & (i <= p1)
+            valid_ul = (i > p0) & (i <= p1)
+
+            skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_sk
+            match_c = jnp.where(valid_ul, pm_im1, 0.0) + e_obs
+            ignore_c = jnp.where(valid_ul, pm_im1 + lik_in, 0.0)
+            D = jnp.maximum(jnp.maximum(0.0, skip_c),
+                            jnp.maximum(match_c, ignore_c))
+            a_stay = e_obs + lik_st
+            a_ext = e_obs + lik_ex
+            Mn, Sn = _column_solve(D, a_stay, a_ext, lik_in, floor0, cut,
+                                   rows, False)
+            Mn = jnp.where(live, Mn, 0.0)
+            Sn = jnp.where(live, Sn, 0.0)
+            cmax = jnp.max(jnp.where(live, Mn, _NB), axis=1, keepdims=True)
+            bestn = jnp.maximum(cmax, cbest)
+
+            hit_t = act_t & (k == kst[t])
+            selM = jnp.where(hit_t, Mn, selM)
+            selS = jnp.where(hit_t, Sn, selS)
+            sa = jnp.where(hit_t, i0c, sa)
+            sbest = jnp.where(hit_t, bestn, sbest)
+            Mc = jnp.where(act_t, Mn, Mc)
+            cbest = jnp.where(act_t, bestn, cbest)
+
+        # ---- join for slot t ----
+        qb_t = qbb + qbrel[t]
+        rel = qb_t - (mb2 << 4)
+        BMt = _pairsel(bm_lo, bm_hi, rel)                  # [EB, WB]
+        BSt = _pairsel(bs_lo, bs_hi, rel)
+        cm_qb = _pairselc(cm_lo, cm_hi, qb_t - (mc << 5))  # [EB, 8]
+        ba = _lane(cm_qb, CM_I0F).astype(i32)
+        bb = _lane(cm_qb, CM_BPB)
+        bc = _lane(cm_qb, CM_BCOL)
+        i0rq = _lane(cm_qb, CM_I0R).astype(i32)
+
+        fa = sa
+        # residual shift vs the re-anchored back lattice: BMn[qb, e, r] holds
+        # B at absolute row i0r[e, qb] + r - JS, the join wants rows fa + rr
+        s2 = fa - i0rq + JS
+        BMs = _narrow(_shift3(BMt, s2, 0, 2 * JS, rows_wb), Ws)
+        BSs = _narrow(_shift3(BSt, s2, 0, 2 * JS, rows_wb), Ws)
+        # XLA-kernel parity: its join zeroes the cross term outside the
+        # conservative lag window [JMIN, JMAX] around the RAW lag fa - ba
+        s_raw = fa - ba
+        span = JS - 16 + 64
+        okr = (s_raw >= -span) & (s_raw <= RS + span)
+        crossA = jnp.maximum(selM + BMs, selS + BSs)
+        crossA = jnp.where(okr, crossA, 0.0)
+        okF = (fa + rows >= 1) & (fa + rows <= n0)
+        sA = jnp.max(
+            jnp.where(okF, jnp.maximum(crossA, jnp.maximum(selM, selS)),
+                      0.0),
+            axis=1, keepdims=True)
+        sm = jnp.maximum(jnp.maximum(sA, bc), 0.0)
+        sm = jnp.maximum(sm, sbest)
+        sm = jnp.maximum(sm, bb)
+        delta = sm - old
+        ok_t = okm & (sok[t] > 0)
+        acc = acc + jnp.where((out_lanes == t) & ok_t, delta, 0.0)
+        if debug:
+            new_ref[0, t] = sm
+            oldd_ref[0] = old
+            sel_ref[0, t] = selM
+            sa_ref[0, t] = sa
+    tot_ref[0] = acc
 
 
 _FNS: dict = {}
@@ -294,111 +341,93 @@ _FNS: dict = {}
 def _get_fn(key):
     if key in _FNS:
         return _FNS[key]
-    (W, Ws, RS, K, P, C1, E, G, T, span, interpret, debug) = key
-    JMIN, JMAX = -span, RS + span
-    FSMIN, FSMAX = -64, RS + 64 + DMAX
+    (W, Ws, RS, K, P, C1, E, EB, G, T, JS, interpret, debug) = key
     i32 = jnp.int32
     f32 = jnp.float32
     Q1 = C1
+    WB = Ws + 2 * JS
+    LW = 3 * Ws + 2
+    C1p = ((C1 + 2 * NWC - 1) // NWC) * NWC + NWC  # halo-pair headroom
 
-    kern = functools.partial(_kernel, W, Ws, RS, K, P, C1, JMIN, JMAX,
-                             FSMIN, FSMAX, debug)
+    kern = functools.partial(_kernel, W, Ws, RS, K, P, C1, JS, debug)
 
-    def e1(idx_map):
-        return pl.BlockSpec((1, E, 1), idx_map, memory_space=pltpu.VMEM)
-
-    def ew(idx_map):
-        return pl.BlockSpec((1, E, W), idx_map, memory_space=pltpu.VMEM)
-
-    def at_st0(g, k, st0, *s):
-        return (st0[g], 0, 0)
-
-    def at_col(g, k, st0, *s):
-        return (jnp.minimum(st0[g] + 1 + k, C1 - 1), 0, 0)
-
-    def at_qold(g, k, st0, qold, *s):
-        return (qold[g], 0, 0)
-
-    def at_qb(t):
-        # qb rides flattened [G*P]: SMEM pads a 2-D [G, P] minor dim to 128
-        # lanes, which blows the 1 MB SMEM budget at Refine-scale G
-        def f(g, k, st0, qold, qb, *s):
-            return (qb[g * P + t], 0, 0)
+    # prefetch order: st0, qold, qbb, sind, greg
+    def at_wg(dm):
+        def f(g, st0, qold, qbb, sind, greg):
+            return (((st0[g] + 1) >> 4) + dm, jnp.maximum(greg[g], 0), 0)
         return f
 
-    in_specs = [
-        ew(at_st0),                                        # Mw
-        pl.BlockSpec((1, E, Ws), at_col, memory_space=pltpu.VMEM),  # win mean
-        pl.BlockSpec((1, E, Ws), at_col, memory_space=pltpu.VMEM),  # win stdv
-        pl.BlockSpec((1, E, Ws), at_col, memory_space=pltpu.VMEM),  # win lsr
-        e1(at_col),                                        # gi0
-        e1(at_col),                                        # gi1
-        e1(at_st0),                                        # i0f @ st0
-        e1(at_st0),                                        # i1f @ st0
-        e1(at_st0),                                        # bpf @ st0
-        e1(at_qold),                                       # oldjoin @ q_old
-        pl.BlockSpec((1, E, 6 * P),
-                     lambda g, k, *s: (g * K + k, 0, 0),
-                     memory_space=pltpu.VMEM),             # mv
-        pl.BlockSpec((2, E, 1), lambda g, k, *s: (0, 0, 0),
-                     memory_space=pltpu.VMEM),             # emi
-        pl.BlockSpec((5, E, 1), lambda g, k, *s: (0, 0, 0),
-                     memory_space=pltpu.VMEM),             # emf
-        pl.BlockSpec((1, 6, P), lambda g, k, *s: (g * K + k, 0, 0),
-                     memory_space=pltpu.VMEM),             # meta
-    ]
-    in_specs += [ew(at_qb(t)) for t in range(P)]           # back M
-    in_specs += [ew(at_qb(t)) for t in range(P)]           # back S
-    in_specs += [e1(at_qb(t)) for t in range(P)]           # ba (i0f @ q_b)
-    in_specs += [e1(at_qb(t)) for t in range(P)]           # bpb @ q_b
-    in_specs += [e1(at_qb(t)) for t in range(P)]           # bcolmax @ q_b
+    def at_cm(dm):
+        def f(g, st0, qold, qbb, sind, greg):
+            return ((jnp.maximum(qold[g] - 3, 0) >> 5) + dm,
+                    jnp.maximum(greg[g], 0), 0)
+        return f
 
-    out_specs = pl.BlockSpec((1, E, 128), lambda g, k, *s: (g, 0, 0),
-                             memory_space=pltpu.VMEM)
-    out_shapes = jax.ShapeDtypeStruct((G, E, 128), f32)
+    def at_bm(dm):
+        def f(g, st0, qold, qbb, sind, greg):
+            return ((qbb[g] >> 4) + dm, jnp.maximum(greg[g], 0), 0)
+        return f
+
+    def at_mw2(g, st0, qold, qbb, sind, greg):
+        return (st0[g] >> 4, jnp.maximum(greg[g], 0), 0)
+
+    def at_g(g, *s):
+        return (g, 0, 0)
+
+    def at_e(g, st0, qold, qbb, sind, greg):
+        return (0, jnp.maximum(greg[g], 0), 0)
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((NW, EB, W), at_mw2, memory_space=vm),        # Mw block
+        pl.BlockSpec((NW, EB, LW), at_wg(0), memory_space=vm),     # wingeo lo
+        pl.BlockSpec((NW, EB, LW), at_wg(1), memory_space=vm),     # wingeo hi
+        pl.BlockSpec((NWC, EB, 8), at_cm(0), memory_space=vm),     # colmeta lo
+        pl.BlockSpec((NWC, EB, 8), at_cm(1), memory_space=vm),     # colmeta hi
+        pl.BlockSpec((NW, EB, WB), at_bm(0), memory_space=vm),     # BMn lo
+        pl.BlockSpec((NW, EB, WB), at_bm(1), memory_space=vm),     # BMn hi
+        pl.BlockSpec((NW, EB, WB), at_bm(0), memory_space=vm),     # BSn lo
+        pl.BlockSpec((NW, EB, WB), at_bm(1), memory_space=vm),     # BSn hi
+        pl.BlockSpec((K, EB, 64), at_g, memory_space=vm),          # mv
+        pl.BlockSpec((1, 8, P), at_g, memory_space=vm),            # meta
+        pl.BlockSpec((2, EB, 1), at_e, memory_space=vm),           # emi
+        pl.BlockSpec((5, EB, 1), at_e, memory_space=vm),           # emf
+    ]
+    out_specs = pl.BlockSpec((1, EB, 128), at_g, memory_space=vm)
+    out_shapes = jax.ShapeDtypeStruct((G, EB, 128), f32)
     if debug:
-        out_specs = [out_specs, out_specs,
-                     pl.BlockSpec((1, E, 1), lambda g, k, *s: (g, 0, 0),
-                                  memory_space=pltpu.VMEM),
-                     pl.BlockSpec((1, P, E, Ws),
-                                  lambda g, k, *s: (g, 0, 0, 0),
-                                  memory_space=pltpu.VMEM),
-                     pl.BlockSpec((1, P, E, 1), lambda g, k, *s: (g, 0, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shapes = [out_shapes, jax.ShapeDtypeStruct((G, P, E, 1), f32),
-                      jax.ShapeDtypeStruct((G, E, 1), f32),
-                      jax.ShapeDtypeStruct((G, P, E, Ws), f32),
-                      jax.ShapeDtypeStruct((G, P, E, 1), i32)]
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, P, EB, 1), lambda g, *s: (g, 0, 0, 0),
+                                  memory_space=vm),
+                     pl.BlockSpec((1, EB, 1), lambda g, *s: (g, 0, 0),
+                                  memory_space=vm),
+                     pl.BlockSpec((1, P, EB, Ws),
+                                  lambda g, *s: (g, 0, 0, 0),
+                                  memory_space=vm),
+                     pl.BlockSpec((1, P, EB, 1), lambda g, *s: (g, 0, 0, 0),
+                                  memory_space=vm)]
+        out_shapes = [out_shapes, jax.ShapeDtypeStruct((G, P, EB, 1), f32),
+                      jax.ShapeDtypeStruct((G, EB, 1), f32),
+                      jax.ShapeDtypeStruct((G, P, EB, Ws), f32),
+                      jax.ShapeDtypeStruct((G, P, EB, 1), i32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(G, K),
+        grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((P, E, Ws), f32),                   # Mc
-            pltpu.VMEM((P, E, Ws), f32),                   # selM
-            pltpu.VMEM((P, E, Ws), f32),                   # selS
-            pltpu.VMEM((E, 1), i32),                       # ci0s
-            pltpu.VMEM((P, E, 1), i32),                    # sas
-            pltpu.VMEM((P, E, 1), f32),                    # sbs
-            pltpu.VMEM((P, E, 1), f32),                    # cbs
-            pltpu.VMEM((E, Ws), f32),                      # pwi
-            pltpu.VMEM((E, Ws), f32),                      # pwm1
-        ],
     )
     call = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def go(st0, qold, qb, sind, greg, mlen, nst, nfill, kst, sok, swin,
-           batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb, i0r, i1r, ev_region,
-           lik_offset):
+    def go(st0, qold, qbb, sind, greg, batch, Mf, Sf, Mb, Sb, i0f, i1f,
+           bpf, bpb, i0r, i1r, ev_region, meta, swin, lik_offset):
         Mf = Mf.astype(f32)
         Sf = Sf.astype(f32)
         Mb = Mb.astype(f32)
@@ -406,25 +435,30 @@ def _get_fn(key):
         bpf = bpf.astype(f32)
         bpb = bpb.astype(f32)
         n0 = batch.n0.astype(i32)
+        i0fT = i0f.astype(i32).T                                # [C1, E]
+        i1fT = i1f.astype(i32).T
+        i0rT = i0r.astype(i32).T                                # [Q1, E]
+        i1rT = i1r.astype(i32).T
 
-        # scoring-band data windows (same as the XLA kernel's in-body gather)
-        widx = (i0r[:, :, None].astype(i32) - 1
-                + jnp.arange(Ws, dtype=i32)[None, None, :])     # [E, Q1, Ws]
+        # scoring-band data windows + geometry, one [Q1, E, 3Ws+2] array
+        widx = (i0rT[:, :, None] - 1
+                + jnp.arange(Ws, dtype=i32)[None, None, :])     # [Q1, E, Ws]
         wok = (widx >= 0) & (widx < T)
-        widxc = jnp.clip(widx, 0, T - 1).reshape(E, -1)
+        widxc = jnp.clip(widx, 0, T - 1)
 
         def _bw(src, pv):
-            v = jnp.take_along_axis(src.astype(f32), widxc, axis=1)
-            v = jnp.where(wok, v.reshape(E, Q1, Ws), jnp.asarray(pv, f32))
-            return jnp.moveaxis(v, 0, 1)                        # [Q1, E, Ws]
+            v = jnp.take_along_axis(
+                jnp.broadcast_to(src.astype(f32)[None], (Q1,) + src.shape),
+                widxc, axis=2)
+            return jnp.where(wok, v, jnp.asarray(pv, f32))
 
-        win_m = _bw(batch.mean, 0.0)
-        win_s = _bw(batch.stdv, 1.0)
-        win_l = _bw(batch.lsr, 0.0)
+        wingeo = jnp.concatenate([
+            _bw(batch.mean, 0.0), _bw(batch.stdv, 1.0), _bw(batch.lsr, 0.0),
+            i0rT[:, :, None].astype(f32), i1rT[:, :, None].astype(f32),
+        ], axis=2)                                              # [Q1, E, LW]
 
         # per-column precomputes: lag-0 old-score join and the backward
         # column's single-sided band max (sB of mutscore._join_shift)
-        i0fT = i0f.astype(i32).T                                # [C1, E]
         iabs = i0fT[:, :, None] + jnp.arange(W, dtype=i32)
         okb = (iabs >= 1) & (iabs <= n0[None, :, None])
         cross = jnp.maximum(Mf + Mb, Sf + Sb)
@@ -432,45 +466,62 @@ def _get_fn(key):
         oldj = jnp.maximum(jnp.maximum(sm, 0.0), jnp.maximum(bpf, bpb))
         bcol = jnp.max(jnp.where(okb, jnp.maximum(Mb, Sb), 0.0), axis=-1)
 
-        # per-(group, slot, step) model values, event-broadcast
+        colmeta = jnp.stack([
+            i0fT.astype(f32), i1fT.astype(f32), bpf, oldj, bpb, bcol,
+            i0rT.astype(f32), jnp.zeros_like(bpf)], axis=2)     # [C1, E, 8]
+
+        # re-anchored backward lattice: BMn[q, e, r] = Mb[q, e, r - JS +
+        # (i0r - i0f)] — join shifts become the residual scoring-band lag
+        presh = i0rT - i0fT                                     # [Q1, E]
+        bidx = (presh[:, :, None] - JS
+                + jnp.arange(WB, dtype=i32)[None, None, :])
+        bok = (bidx >= 0) & (bidx < W)
+        bidxc = jnp.clip(bidx, 0, W - 1)
+        BMn = jnp.where(bok, jnp.take_along_axis(Mb, bidxc, axis=2), 0.0)
+        BSn = jnp.where(bok, jnp.take_along_axis(Sb, bidxc, axis=2), 0.0)
+
+        # per-(group, step) model values + per-slot states, [G*K, EB, 64]
         mt = jnp.stack([
             batch.lev_mean.astype(f32), batch.lev_stdv.astype(f32),
             batch.log_lev.astype(f32) - jnp.asarray(lik_offset, f32),
             batch.sd_mean.astype(f32), batch.sd_lambda.astype(f32),
             batch.log_lambda.astype(f32)])                      # [6, E, 1024]
-        stc = jnp.clip(swin, 0, 1023)                           # [G, P, K]
-        mv = mt[:, :, stc]                                      # [6,E,G,P,K]
-        # [G*K, E, 6P] with column t*6+j: events in SUBLANES and the 54
-        # slot-table pairs in LANES — a [..., E, 1] operand would tile-pad
-        # its lane dim 128x in HBM (152 GB at Refine-8 scale)
-        mv = jnp.transpose(mv, (2, 4, 1, 3, 0)).reshape(G * K, E, P * 6)
+        G_, P_, K_ = swin.shape
+        stc = jnp.clip(swin, 0, 1023)
+        erow = (jnp.maximum(greg, 0)[:, None] * EB
+                + jnp.arange(EB, dtype=i32)[None, :])           # [G, EB]
+        erow = jnp.clip(erow, 0, mt.shape[1] - 1)
+        # one fancy gather: mv6[j, g, e, t, k] = mt[j, erow[g, e], stc[g,t,k]]
+        mv6 = mt[:, erow[:, :, None, None], stc[:, None, :, :]]
+        # mv6: [6, G, EB, P, K] -> [G, K, EB, 6P (+ P state lanes + pad)]
+        mv = jnp.transpose(mv6, (1, 4, 2, 3, 0)).reshape(G_, K_, EB, P_ * 6)
+        stlan = jnp.broadcast_to(
+            jnp.transpose(swin, (0, 2, 1))[:, :, None, :].astype(f32),
+            (G_, K_, EB, P_))                                   # winst lanes
+        pad = jnp.zeros((G_, K_, EB, 64 - 6 * P_ - P_), f32)
+        mv = jnp.concatenate([mv, stlan, pad], axis=3).reshape(
+            G_ * K_, EB, 64)
 
-        i0f_c = i0fT[:, :, None]
-        i1f_c = i1f.astype(i32).T[:, :, None]
-        bpf_c = bpf[:, :, None]
-        bpb_c = bpb[:, :, None]
-        old_c = oldj[:, :, None]
-        bcol_c = bcol[:, :, None]
-        gi0 = i0r.astype(i32).T[:, :, None]
-        gi1 = i1r.astype(i32).T[:, :, None]
+        # pad the column axis so halo pairs never index past the end
+        def cpad(x, n):
+            return jnp.concatenate(
+                [x, jnp.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)])
+
+        wingeo = cpad(wingeo, C1p)
+        colmeta = cpad(colmeta, C1p)
+        BMn = cpad(BMn, C1p)
+        BSn = cpad(BSn, C1p)
+        Mfp = cpad(Mf, C1p)
+
         emi = jnp.stack([n0, ev_region.astype(i32)])[:, :, None]
         emf = jnp.stack([
             batch.active.astype(f32), batch.lik_skip.astype(f32),
             batch.lik_stay.astype(f32), batch.lik_extend.astype(f32),
             batch.lik_insert.astype(f32)])[:, :, None]
-        # per-(g, k) scalar metadata: rows (mlen, nst, nfill, kst, sok,
-        # winst_k) — the per-g rows simply repeat along k
-        smeta = jnp.broadcast_to(
-            jnp.stack([mlen, nst, nfill, kst, sok], axis=1)[:, None],
-            (G, K, 5, P))
-        swink = jnp.transpose(swin, (0, 2, 1))[:, :, None, :]   # [G,K,1,P]
-        meta = jnp.concatenate([smeta, swink], axis=2).reshape(G * K, 6, P)
 
-        args = ([Mf, win_m, win_s, win_l, gi0, gi1, i0f_c, i1f_c, bpf_c,
-                 old_c, mv, emi, emf, meta]
-                + [Mb] * P + [Sb] * P + [i0f_c] * P + [bpb_c] * P
-                + [bcol_c] * P)
-        out = call(st0, qold, qb.reshape(-1), sind, greg, *args)
+        out = call(st0, qold, qbb, sind, greg,
+                   Mfp, wingeo, wingeo, colmeta, colmeta,
+                   BMn, BMn, BSn, BSn, mv, meta, emi, emf)
         if debug:
             tot, new, oldd, sel, sa = out
             return (jnp.sum(tot[:, :, :P], axis=1), new[..., 0],
@@ -507,9 +558,25 @@ def host_slot_arrays(gp, K, P, C1):
 
     sok = (valid & (k_star >= 0) & (greg >= 0)[:, None])
     flagged = valid & (k_star < 0) & (greg >= 0)[:, None]
+
+    # pad groups inherit the previous real group's columns so their (masked)
+    # block fetches stay in range and coherent
+    real = greg >= 0
+    if real.any():
+        last = None
+        for g in range(G):
+            if real[g]:
+                last = g
+            elif last is not None:
+                st0[g] = st0[last]
+                q_old[g] = q_old[last]
+                q_b[g] = q_b[last]
+    qbb = q_b.min(axis=1)
+    qbrel = q_b - qbb[:, None]
     i32 = np.int32
     return dict(
         st0=st0.astype(i32), qold=q_old.astype(i32), qb=q_b.astype(i32),
+        qbb=qbb.astype(i32), qbrel=qbrel.astype(i32),
         sind=startind.astype(i32), greg=greg.astype(i32),
         mlen=mlen.astype(i32), nst=nst.astype(i32), nfill=nfill.astype(i32),
         kst=k_star.astype(i32), sok=sok.astype(i32),
@@ -563,35 +630,51 @@ def wide_fallback_totals(Mf, Sf, Mb, Sb, i0f, bpf, bpb, n0, active,
     return {(int(g), int(t)): float(v) for g, t, v in zip(gs, ts, sums)}
 
 
+def pallas_ok(gp_dm: int, stride: int | None, Ws: int) -> bool:
+    """v2 serves the D<=4 shapes over a uniform-stride batch; the D=32
+    big-indel Mutate shapes and unstrided layouts stay on the XLA kernel."""
+    return gp_dm <= 4 and stride is not None and Ws <= 500
+
+
 def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
                         i0r_h, i1r_h, ev_region, gp, arrays, lik_offset,
-                        W, Ws, RS, K, P, DM, interpret=False, debug=False):
+                        W, Ws, RS, K, P, DM, EB, interpret=False,
+                        debug=False):
     """Full group-scoring totals [G, P] (numpy float64) via the fused Pallas
     kernel + the XLA fallback for flagged slots.  Drop-in replacement for the
-    XLA group kernel's output in mutscore.score_mutations_multi."""
+    XLA group kernel's output in mutscore.score_mutations_multi.  EB: the
+    uniform per-region row stride of the batch."""
     C1 = int(Mf.shape[0])
     E = int(Mf.shape[1])
     G = int(gp["G_pad"])
     T = int(batch.mean.shape[1])
     hs = host_slot_arrays(gp, K, P, C1)
-    # join-lag slack: mirrors mutscore._group_kernel_body's span (the rate-
-    # limit lag/clamp allowance on top of the DMAX*net-indel bound)
-    span = DM * DMAX + 64
-    key = (W, Ws, RS, K, P, C1, E, G, T, span, bool(interpret), bool(debug))
+    JS = DMAX * DM + 16
+    key = (W, Ws, RS, K, P, C1, E, EB, G, T, JS, bool(interpret),
+           bool(debug))
     fn = _get_fn(key)
+
+    meta = np.zeros((G, 8, P), np.int32)
+    meta[:, 0] = hs["mlen"]
+    meta[:, 1] = hs["nst"]
+    meta[:, 2] = hs["nfill"]
+    meta[:, 3] = hs["kst"]
+    meta[:, 4] = hs["sok"]
+    meta[:, 5] = hs["qbrel"]
+
     out = fn(
-        jnp.asarray(hs["st0"]), jnp.asarray(hs["qold"]), jnp.asarray(hs["qb"]),
-        jnp.asarray(hs["sind"]), jnp.asarray(hs["greg"]),
-        jnp.asarray(hs["mlen"]), jnp.asarray(hs["nst"]),
-        jnp.asarray(hs["nfill"]), jnp.asarray(hs["kst"]),
-        jnp.asarray(hs["sok"]), jnp.asarray(gp["s_win"]),
+        jnp.asarray(hs["st0"]), jnp.asarray(hs["qold"]),
+        jnp.asarray(hs["qbb"]), jnp.asarray(hs["sind"]),
+        jnp.asarray(hs["greg"]),
         batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
         jnp.asarray(i0r_h), jnp.asarray(i1r_h),
-        jnp.asarray(ev_region), float(lik_offset))
+        jnp.asarray(ev_region), jnp.asarray(meta),
+        jnp.asarray(gp["s_win"]), float(lik_offset))
     if debug:
         return out, hs
     totals = np.asarray(out, np.float64)
 
+    span = DM * DMAX + 64
     wide = wide_fallback_totals(Mf, Sf, Mb, Sb, i0f, bpf, bpb,
                                 arrays["n0"], arrays["active"], ev_region,
                                 gp, hs, span, jnp.float32)

@@ -8,7 +8,19 @@ Both paths implement the reference's splice-and-refill mutation rescoring
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """Serializing the CPU pallas executable for the persistent compilation
+    cache segfaults in jaxlib (put_executable_and_time); keep the cache off
+    for these tests only."""
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", old)
 
 from poreseq_tpu.core.regions import MutationInfo
 from poreseq_tpu.engine.types import AlignData
