@@ -62,6 +62,67 @@ from .pallas_fill import _NB, _column_solve, _shift_sel, _shl, _shr
 
 SH_STEP = tuple(range(0, DMAX + 1))
 SH_STEP_M1 = tuple(range(-1, DMAX))
+
+
+# ---- last-axis variants of the pallas_fill lane-shift helpers (the refill
+# runs on [P, EB, Ws] blocks — slot dim folded into sublanes so each vector
+# op covers ~18 vregs instead of 2; probe4 validated 3-D lane rolls) ----
+
+def _shl3(x, s, rows, fill):
+    W = x.shape[-1]
+    z = jnp.where(rows < s, fill, x)
+    return pltpu.roll(z, W - s, x.ndim - 1)
+
+
+def _shr3(x, s, rows, fill):
+    return jnp.where(rows < s, fill, pltpu.roll(x, s, x.ndim - 1))
+
+
+def _shift_sel3(x, d, shifts, rows, fill=0.0):
+    """x [..., W] shifted left by per-row d (within `shifts`); same contract
+    as pallas_fill._shift_sel on the LAST axis."""
+    out = jnp.zeros_like(x)
+    for s in shifts:
+        if s < 0:
+            cand = _shr3(x, -s, rows, fill)
+        elif s == 0:
+            cand = x
+        else:
+            cand = _shl3(x, s, rows, fill)
+        out = jnp.where(d == s, cand, out)
+    return out
+
+
+_MP_ID = (0.0, _NB, _NB, 0.0, _NB, _NB)
+
+
+def _mp_combine3(lhs, rhs):
+    l11, l12, l21, l22, lu1, lu2 = lhs
+    r11, r12, r21, r22, ru1, ru2 = rhs
+    return (jnp.maximum(r11 + l11, r12 + l21),
+            jnp.maximum(r11 + l12, r12 + l22),
+            jnp.maximum(r21 + l11, r22 + l21),
+            jnp.maximum(r21 + l12, r22 + l22),
+            jnp.maximum(jnp.maximum(r11 + lu1, r12 + lu2), ru1),
+            jnp.maximum(jnp.maximum(r21 + lu1, r22 + lu2), ru2))
+
+
+def _column_solve3(D, a_stay, a_ext, lik_insert, floor0, cut, rows):
+    """pallas_fill._column_solve generalized to [..., W] (forward only)."""
+    NB = _NB
+    a11 = jnp.where(cut, NB, jnp.maximum(lik_insert, a_stay))
+    a12 = jnp.where(cut, NB, a_ext)
+    a21 = jnp.where(cut, NB, a_stay)
+    a22 = jnp.where(cut, NB, a_ext)
+    elems = (a11, a12, a21, a22, D, floor0)
+    W = D.shape[-1]
+    d = 1
+    while d < W:
+        shifted = tuple(_shr3(arr, d, rows, fv)
+                        for arr, fv in zip(elems, _MP_ID))
+        elems = _mp_combine3(shifted, elems)
+        d *= 2
+    return elems[4], elems[5]
 NW = 16          # halo-block height (columns) for paired fetches
 NWC = 32         # halo-block height for the per-column metadata pairs
 
@@ -217,82 +278,105 @@ def _kernel(W, Ws, RS, K, P, C1, JS, debug,
             any_act = a if any_act is None else jnp.logical_or(any_act, a)
         ci0 = jnp.where(any_act, i0c, ci0)
 
-    # ---- per-slot refill + join: one slot's state live at a time (the
-    # slot-major layout with 36 [EB, Ws] carries spilled registers and cost
-    # ~250 us/group; this form keeps ~6 small arrays live) ----
+    # ---- refill, vectorized over slots: [P, EB, Ws] blocks (~18-vreg ops;
+    # both a slot-major carry layout and a slot-at-a-time loop were
+    # instruction-issue bound on 2-vreg [EB, Ws] tiles at ~230 us/group) ----
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
+
+    def slot_stack(vals_2d):
+        """[P, EB, 1] from P [EB, 1] values (mask-select; no sublane
+        concat, which Mosaic may not lower)."""
+        out = jnp.zeros((P, EB, 1), vals_2d[0].dtype)
+        for t in range(P):
+            out = jnp.where(p_iota == t, vals_2d[t], out)
+        return out
+
+    def slot_mask(bools):
+        """[P, 1, 1] f32 0/1 mask from P scalar bools."""
+        out = jnp.zeros((P, 1, 1), jnp.float32)
+        for t in range(P):
+            out = jnp.where(jnp.logical_and(p_iota == t, bools[t]), 1.0, out)
+        return out
+
+    Mc = jnp.zeros((P, EB, Ws), jnp.float32)
+    selM = Mc
+    selS = Mc
+    sa = jnp.broadcast_to((wi0 + RS)[None], (P, EB, 1))
+    sbest = jnp.broadcast_to(wbest[None], (P, EB, 1))
+    cbest = sbest
+    for k in range(K):
+        refind = sind + 1 + k
+        wg = wg_k[k]
+        i0c = i0c_k[k]
+        i1c = i1c_k[k]
+        mwv = _narrow(wg, Ws, 0)                           # [EB, Ws]
+        swv = _narrow(wg, Ws, Ws)
+        lwv = _narrow(wg, Ws, 2 * Ws)
+        i = i0c + rows
+        in_band = i <= i1c
+        mvk = mv_ref[k]                                    # [EB, 64]
+
+        stk = slot_stack([_lane(mvk, 54 + t) for t in range(P)])
+        act3 = slot_mask([(k < mlen[t] + 6) & (refind <= nst[t])
+                          & (k < nfill[t]) for t in range(P)]) > 0.5
+        hit3 = slot_mask([((k < mlen[t] + 6) & (refind <= nst[t])
+                           & (k < nfill[t]) & (k == kst[t]))
+                          for t in range(P)]) > 0.5
+
+        lm = slot_stack([_lane(mvk, t * 6 + 0) for t in range(P)])
+        ls = slot_stack([_lane(mvk, t * 6 + 1) for t in range(P)])
+        ll = slot_stack([_lane(mvk, t * 6 + 2) for t in range(P)])
+        smn = slot_stack([_lane(mvk, t * 6 + 3) for t in range(P)])
+        lam = slot_stack([_lane(mvk, t * 6 + 4) for t in range(P)])
+        llam = slot_stack([_lane(mvk, t * 6 + 5) for t in range(P)])
+        e_obs = emission(mwv, swv, lwv, lm, ls, ll, smn, lam, llam, 0.0)
+        live = in_band & (stk >= -0.5)                     # [P, EB, Ws]
+        e_obs = jnp.where(live, e_obs, 0.0)
+
+        if k == 0:
+            pm_i = jnp.broadcast_to(pwi0[None], (P, EB, Ws))
+            pm_im1 = jnp.broadcast_to(pwm10[None], (P, EB, Ws))
+            p0, p1 = wi0, wi1
+        else:
+            d = i0c - ci0_k[k]
+            pm_i = _shift_sel3(Mc, d, SH_STEP, rows)
+            pm_im1 = _shift_sel3(Mc, d - 1, SH_STEP_M1, rows)
+            p0 = ci0_k[k]
+            p1 = ci0_k[k] + (Ws - 1)
+        valid_i = (i >= p0) & (i <= p1)
+        valid_ul = (i > p0) & (i <= p1)
+
+        skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_sk
+        match_c = jnp.where(valid_ul, pm_im1, 0.0) + e_obs
+        ignore_c = jnp.where(valid_ul, pm_im1 + lik_in, 0.0)
+        D = jnp.maximum(jnp.maximum(0.0, skip_c),
+                        jnp.maximum(match_c, ignore_c))
+        a_stay = e_obs + lik_st
+        a_ext = e_obs + lik_ex
+        Mn, Sn = _column_solve3(D, a_stay, a_ext, lik_in,
+                                jnp.broadcast_to(floor0, D.shape), cut, rows)
+        Mn = jnp.where(live, Mn, 0.0)
+        Sn = jnp.where(live, Sn, 0.0)
+        cmax = jnp.max(jnp.where(live, Mn, _NB), axis=2, keepdims=True)
+        bestn = jnp.maximum(cmax, cbest)
+
+        selM = jnp.where(hit3, Mn, selM)
+        selS = jnp.where(hit3, Sn, selS)
+        sa = jnp.where(hit3, i0c[None], sa)
+        sbest = jnp.where(hit3, bestn, sbest)
+        Mc = jnp.where(act3, Mn, Mc)
+        cbest = jnp.where(act3, bestn, cbest)
+
+    # ---- joins, per slot ----
     okm = (act_e > 0.5) & (evr == greg)                    # [EB, 1]
     mb2 = qbb >> 4
     out_lanes = jax.lax.broadcasted_iota(jnp.int32, (EB, 128), 1)
     acc = jnp.zeros((EB, 128), jnp.float32)
     for t in range(P):
-        Mc = zs
-        selM = zs
-        selS = zs
-        sa = wi0 + RS
-        sbest = jnp.broadcast_to(wbest, (EB, 1))
-        cbest = jnp.broadcast_to(wbest, (EB, 1))
-        for k in range(K):
-            refind = sind + 1 + k
-            wg = wg_k[k]
-            i0c = i0c_k[k]
-            i1c = i1c_k[k]
-            mwv = _narrow(wg, Ws, 0)
-            swv = _narrow(wg, Ws, Ws)
-            lwv = _narrow(wg, Ws, 2 * Ws)
-            i = i0c + rows
-            in_band = i <= i1c
-            mvk = mv_ref[k]                                # [EB, 64]
-
-            stk = _lane(mvk, 54 + t)                       # [EB, 1] f32
-            act_t = ((k < mlen[t] + 6) & (refind <= nst[t])
-                     & (k < nfill[t]))
-
-            lm = _lane(mvk, t * 6 + 0)
-            ls = _lane(mvk, t * 6 + 1)
-            ll = _lane(mvk, t * 6 + 2)     # pre-folded with -lik_offset
-            smn = _lane(mvk, t * 6 + 3)
-            lam = _lane(mvk, t * 6 + 4)
-            llam = _lane(mvk, t * 6 + 5)
-            e_obs = emission(mwv, swv, lwv, lm, ls, ll, smn, lam, llam, 0.0)
-            live = in_band & (stk >= -0.5)
-            e_obs = jnp.where(live, e_obs, 0.0)
-
-            if k == 0:
-                pm_i = pwi0
-                pm_im1 = pwm10
-                p0, p1 = wi0, wi1
-            else:
-                d = i0c - ci0_k[k]
-                pm_i = _shift_sel(Mc, d, SH_STEP, rows)
-                pm_im1 = _shift_sel(Mc, d - 1, SH_STEP_M1, rows)
-                p0 = ci0_k[k]
-                p1 = ci0_k[k] + (Ws - 1)
-            valid_i = (i >= p0) & (i <= p1)
-            valid_ul = (i > p0) & (i <= p1)
-
-            skip_c = jnp.where(valid_i, pm_i, 0.0) + lik_sk
-            match_c = jnp.where(valid_ul, pm_im1, 0.0) + e_obs
-            ignore_c = jnp.where(valid_ul, pm_im1 + lik_in, 0.0)
-            D = jnp.maximum(jnp.maximum(0.0, skip_c),
-                            jnp.maximum(match_c, ignore_c))
-            a_stay = e_obs + lik_st
-            a_ext = e_obs + lik_ex
-            Mn, Sn = _column_solve(D, a_stay, a_ext, lik_in, floor0, cut,
-                                   rows, False)
-            Mn = jnp.where(live, Mn, 0.0)
-            Sn = jnp.where(live, Sn, 0.0)
-            cmax = jnp.max(jnp.where(live, Mn, _NB), axis=1, keepdims=True)
-            bestn = jnp.maximum(cmax, cbest)
-
-            hit_t = act_t & (k == kst[t])
-            selM = jnp.where(hit_t, Mn, selM)
-            selS = jnp.where(hit_t, Sn, selS)
-            sa = jnp.where(hit_t, i0c, sa)
-            sbest = jnp.where(hit_t, bestn, sbest)
-            Mc = jnp.where(act_t, Mn, Mc)
-            cbest = jnp.where(act_t, bestn, cbest)
-
-        # ---- join for slot t ----
+        selM_t = selM[t]
+        selS_t = selS[t]
+        sa_t = sa[t]
+        sbest_t = sbest[t]
         qb_t = qbb + qbrel[t]
         rel = qb_t - (mb2 << 4)
         BMt = _pairsel(bm_lo, bm_hi, rel)                  # [EB, WB]
@@ -303,7 +387,7 @@ def _kernel(W, Ws, RS, K, P, C1, JS, debug,
         bc = _lane(cm_qb, CM_BCOL)
         i0rq = _lane(cm_qb, CM_I0R).astype(i32)
 
-        fa = sa
+        fa = sa_t
         # residual shift vs the re-anchored back lattice: BMn[qb, e, r] holds
         # B at absolute row i0r[e, qb] + r - JS, the join wants rows fa + rr
         s2 = fa - i0rq + JS
@@ -314,15 +398,15 @@ def _kernel(W, Ws, RS, K, P, C1, JS, debug,
         s_raw = fa - ba
         span = JS - 16 + 64
         okr = (s_raw >= -span) & (s_raw <= RS + span)
-        crossA = jnp.maximum(selM + BMs, selS + BSs)
+        crossA = jnp.maximum(selM_t + BMs, selS_t + BSs)
         crossA = jnp.where(okr, crossA, 0.0)
         okF = (fa + rows >= 1) & (fa + rows <= n0)
         sA = jnp.max(
-            jnp.where(okF, jnp.maximum(crossA, jnp.maximum(selM, selS)),
+            jnp.where(okF, jnp.maximum(crossA, jnp.maximum(selM_t, selS_t)),
                       0.0),
             axis=1, keepdims=True)
         sm = jnp.maximum(jnp.maximum(sA, bc), 0.0)
-        sm = jnp.maximum(sm, sbest)
+        sm = jnp.maximum(sm, sbest_t)
         sm = jnp.maximum(sm, bb)
         delta = sm - old
         ok_t = okm & (sok[t] > 0)
@@ -330,8 +414,8 @@ def _kernel(W, Ws, RS, K, P, C1, JS, debug,
         if debug:
             new_ref[0, t] = sm
             oldd_ref[0] = old
-            sel_ref[0, t] = selM
-            sa_ref[0, t] = sa
+            sel_ref[0, t] = selM_t
+            sa_ref[0, t] = sa_t
     tot_ref[0] = acc
 
 

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--coverage", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--region-length", type=int, default=10000)
+    ap.add_argument("--read-len", type=int, default=None,
+                    help="read length (default region_length+400; set "
+                    "longer, e.g. 8000 with 2 kb regions, for the honest "
+                    "overhanging-read scenario — Event.trim bounds the "
+                    "batch time axis)")
     ap.add_argument("--backend", default="tpu")
     ap.add_argument("--draft-error", type=float, default=0.02)
     ap.add_argument("--iterations", type=int, default=4)
@@ -49,9 +54,10 @@ def main():
     d = tempfile.mkdtemp(prefix="psqlambda_")
     rng = np.random.default_rng(0)
     t0 = time.time()
-    # reads sized to the regions (levels of a read far outside a region are
-    # dead padding in the TPU batch) and numerous enough for ~coverage depth
-    read_len = args.region_length + 400
+    # default: reads sized to the regions; --read-len overrides (long reads
+    # overhanging short regions are trimmed to the band-reachable range at
+    # load, Event.trim)
+    read_len = args.read_len or (args.region_length + 400)
     n_reads = max(args.coverage * args.genome // (2 * read_len), 4)
     truth, draft, reads_dir, bam, fasta = write_run(
         d, rng, ref_len=args.genome, n_reads=n_reads,

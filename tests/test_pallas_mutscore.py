@@ -16,11 +16,15 @@ import jax.numpy as jnp
 def _no_persistent_cache():
     """Serializing the CPU pallas executable for the persistent compilation
     cache segfaults in jaxlib (put_executable_and_time); keep the cache off
-    for these tests only."""
+    for these tests only.  The enable flag alone does not gate cache WRITES,
+    so clear the cache dir too."""
     old = jax.config.jax_enable_compilation_cache
+    old_dir = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_enable_compilation_cache", False)
+    jax.config.update("jax_compilation_cache_dir", None)
     yield
     jax.config.update("jax_enable_compilation_cache", old)
+    jax.config.update("jax_compilation_cache_dir", old_dir)
 
 from poreseq_tpu.core.regions import MutationInfo
 from poreseq_tpu.engine.types import AlignData
@@ -76,13 +80,14 @@ def _compare(a_list, b_list):
 
 def test_pallas_mutscore_single_region(monkeypatch):
     rng = np.random.default_rng(7)
-    pa, _ = _session(seed=11, draft_error=0.04)
-    muts = _rand_muts(rng, pa.sequence, 30)
+    pa, _ = _session(seed=11, ref_len=120, coverage=3, draft_error=0.04)
+    muts = _rand_muts(rng, pa.sequence, 16)
     ref = _scores(monkeypatch, "0", [pa], [muts])
     got = _scores(monkeypatch, "interp", [pa], [muts])
     _compare(ref, got)
 
 
+@pytest.mark.slow
 def test_pallas_mutscore_multi_region(monkeypatch):
     rng = np.random.default_rng(3)
     pa1, _ = _session(seed=21, ref_len=160, draft_error=0.04)
