@@ -86,18 +86,21 @@ def _pallas_mode(dtype, mesh, E):
     """Fused Pallas group scorer gating: PSQ_PALLAS_MUTSCORE=1 opt-in (TPU),
     'interp' interpreter mode (CPU tests), default/0 = the XLA group kernel.
 
-    The fused kernel is hardware-correct (0 accept-sign flips across 64k
-    scores) but currently 0.6-0.9x the XLA kernel's speed: its per-slot
-    [EB, Ws] tiles are 2 vregs, so the body is instruction-issue bound —
-    folding the slot dim into sublanes ([P*EB, *] operand layouts) is the
-    known fix (see PERF.md).  Until it wins, it stays opt-in."""
+    The fused kernel now BEATS the XLA group kernel at the big Refine-scale
+    calls (1.95 s vs 2.30 s per 8-region 64k-mutation call, 0 accept-sign
+    flips) — but its XLA prologue (windows, per-column joins, model values)
+    is O(C1*E*W) regardless of mutation count, so the many SMALL late-Refine
+    calls pay ~1 s where the XLA kernel pays ~0.2 s, and the uniform-stride
+    batch layout grows every fill: flipping it on wholesale measured 10.7
+    s/region e2e vs 9.5 with the XLA default.  Until the prologue is
+    amortized (or gated by group count), it stays opt-in."""
     env = os.environ.get("PSQ_PALLAS_MUTSCORE", "")
     if env == "0" or mesh is not None:
         return None
     if env == "interp":
         return "interp"
     if env == "1":
-        return "tpu"
+        return "force"
     return None
 
 
@@ -723,7 +726,8 @@ def score_mutations_multi(engine, datas, muts_list):
     E_g = min(round_up(max(max_rev, sw or 1), 32), E)
     from .pallas_mutscore import pallas_ok
 
-    if pmode is not None and pallas_ok(D_all, sw, Ws):
+    if pmode is not None and pallas_ok(D_all, sw, Ws,
+                                       force=pmode in ("force", "interp")):
         from .pallas_mutscore import score_groups_pallas
 
         totals_gp = score_groups_pallas(

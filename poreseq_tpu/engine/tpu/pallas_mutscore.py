@@ -188,13 +188,15 @@ CM_I0F, CM_I1F, CM_BPF, CM_OLD, CM_BPB, CM_BCOL, CM_I0R = range(7)
 
 
 def _kernel(W, Ws, RS, K, P, C1, JS, debug,
-            # scalar-prefetch refs
-            st0_r, qold_r, qbb_r, sind_r, greg_r,
+            # scalar-prefetch refs (qbf_r feeds the back-column index maps)
+            st0_r, qold_r, qbb_r, sind_r, greg_r, qbf_r,
             # inputs
             mw_ref, wg_lo, wg_hi, cm_lo, cm_hi,
-            bm_lo, bm_hi, bs_lo, bs_hi, mv_ref, meta_ref, emi_ref, emf_ref,
-            # outputs
             *rest):
+    bM = rest[0:P]
+    bS = rest[P:2 * P]
+    mv_ref, meta_ref, emi_ref, emf_ref = rest[2 * P:2 * P + 4]
+    rest = rest[2 * P + 4:]
     tot_ref = rest[0]
     if debug:
         new_ref, oldd_ref, sel_ref, sa_ref = rest[1:5]
@@ -372,34 +374,30 @@ def _kernel(W, Ws, RS, K, P, C1, JS, debug,
     mb2 = qbb >> 4
     out_lanes = jax.lax.broadcasted_iota(jnp.int32, (EB, 128), 1)
     acc = jnp.zeros((EB, 128), jnp.float32)
+    span = JS - 16 + 64
+    JMIN, JMAX = -span, RS + span
     for t in range(P):
         selM_t = selM[t]
         selS_t = selS[t]
         sa_t = sa[t]
         sbest_t = sbest[t]
         qb_t = qbb + qbrel[t]
-        rel = qb_t - (mb2 << 4)
-        BMt = _pairsel(bm_lo, bm_hi, rel)                  # [EB, WB]
-        BSt = _pairsel(bs_lo, bs_hi, rel)
+        BMt = bM[t][0]                                     # [EB, W] raw
+        BSt = bS[t][0]
         cm_qb = _pairselc(cm_lo, cm_hi, qb_t - (mc << 5))  # [EB, 8]
         ba = _lane(cm_qb, CM_I0F).astype(i32)
         bb = _lane(cm_qb, CM_BPB)
         bc = _lane(cm_qb, CM_BCOL)
-        i0rq = _lane(cm_qb, CM_I0R).astype(i32)
 
         fa = sa_t
-        # residual shift vs the re-anchored back lattice: BMn[qb, e, r] holds
-        # B at absolute row i0r[e, qb] + r - JS, the join wants rows fa + rr
-        s2 = fa - i0rq + JS
-        BMs = _narrow(_shift3(BMt, s2, 0, 2 * JS, rows_wb), Ws)
-        BSs = _narrow(_shift3(BSt, s2, 0, 2 * JS, rows_wb), Ws)
-        # XLA-kernel parity: its join zeroes the cross term outside the
-        # conservative lag window [JMIN, JMAX] around the RAW lag fa - ba
+        # raw-lag shift of the full-width back column (exactly the XLA
+        # kernel's shift_select2 semantics: lags outside [JMIN, JMAX] zero
+        # the shifted column, which degrades crossA to max(FM, FS) — already
+        # a term of sA, so no separate range mask is needed)
         s_raw = fa - ba
-        span = JS - 16 + 64
-        okr = (s_raw >= -span) & (s_raw <= RS + span)
+        BMs = _narrow(_shift3(BMt, s_raw, JMIN, JMAX, rows_w), Ws)
+        BSs = _narrow(_shift3(BSt, s_raw, JMIN, JMAX, rows_w), Ws)
         crossA = jnp.maximum(selM_t + BMs, selS_t + BSs)
-        crossA = jnp.where(okr, crossA, 0.0)
         okF = (fa + rows >= 1) & (fa + rows <= n0)
         sA = jnp.max(
             jnp.where(okF, jnp.maximum(crossA, jnp.maximum(selM_t, selS_t)),
@@ -435,30 +433,31 @@ def _get_fn(key):
 
     kern = functools.partial(_kernel, W, Ws, RS, K, P, C1, JS, debug)
 
-    # prefetch order: st0, qold, qbb, sind, greg
+    # prefetch order: st0, qold, qbb, sind, greg, qbf (flat [G*P])
     def at_wg(dm):
-        def f(g, st0, qold, qbb, sind, greg):
+        def f(g, st0, qold, qbb, sind, greg, qbf):
             return (((st0[g] + 1) >> 4) + dm, jnp.maximum(greg[g], 0), 0)
         return f
 
     def at_cm(dm):
-        def f(g, st0, qold, qbb, sind, greg):
+        def f(g, st0, qold, qbb, sind, greg, qbf):
             return ((jnp.maximum(qold[g] - 3, 0) >> 5) + dm,
                     jnp.maximum(greg[g], 0), 0)
         return f
 
-    def at_bm(dm):
-        def f(g, st0, qold, qbb, sind, greg):
-            return ((qbb[g] >> 4) + dm, jnp.maximum(greg[g], 0), 0)
+    def at_qb(t):
+        # raw back column at this slot's q_b (leading-1 block)
+        def f(g, st0, qold, qbb, sind, greg, qbf):
+            return (qbf[g * P + t], jnp.maximum(greg[g], 0), 0)
         return f
 
-    def at_mw2(g, st0, qold, qbb, sind, greg):
+    def at_mw2(g, st0, qold, qbb, sind, greg, qbf):
         return (st0[g] >> 4, jnp.maximum(greg[g], 0), 0)
 
     def at_g(g, *s):
         return (g, 0, 0)
 
-    def at_e(g, st0, qold, qbb, sind, greg):
+    def at_e(g, st0, qold, qbb, sind, greg, qbf):
         return (0, jnp.maximum(greg[g], 0), 0)
 
     vm = pltpu.VMEM
@@ -468,10 +467,12 @@ def _get_fn(key):
         pl.BlockSpec((NW, EB, LW), at_wg(1), memory_space=vm),     # wingeo hi
         pl.BlockSpec((NWC, EB, 8), at_cm(0), memory_space=vm),     # colmeta lo
         pl.BlockSpec((NWC, EB, 8), at_cm(1), memory_space=vm),     # colmeta hi
-        pl.BlockSpec((NW, EB, WB), at_bm(0), memory_space=vm),     # BMn lo
-        pl.BlockSpec((NW, EB, WB), at_bm(1), memory_space=vm),     # BMn hi
-        pl.BlockSpec((NW, EB, WB), at_bm(0), memory_space=vm),     # BSn lo
-        pl.BlockSpec((NW, EB, WB), at_bm(1), memory_space=vm),     # BSn hi
+    ]
+    in_specs += [pl.BlockSpec((1, EB, W), at_qb(t), memory_space=vm)
+                 for t in range(P)]                                # back M
+    in_specs += [pl.BlockSpec((1, EB, W), at_qb(t), memory_space=vm)
+                 for t in range(P)]                                # back S
+    in_specs += [
         pl.BlockSpec((K, EB, 64), at_g, memory_space=vm),          # mv
         pl.BlockSpec((1, 8, P), at_g, memory_space=vm),            # meta
         pl.BlockSpec((2, EB, 1), at_e, memory_space=vm),           # emi
@@ -496,7 +497,7 @@ def _get_fn(key):
                       jax.ShapeDtypeStruct((G, P, EB, 1), i32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -510,7 +511,7 @@ def _get_fn(key):
         interpret=interpret,
     )
 
-    def go(st0, qold, qbb, sind, greg, batch, Mf, Sf, Mb, Sb, i0f, i1f,
+    def go(st0, qold, qbb, sind, greg, qbf, batch, Mf, Sf, Mb, Sb, i0f, i1f,
            bpf, bpb, i0r, i1r, ev_region, meta, swin, lik_offset):
         Mf = Mf.astype(f32)
         Sf = Sf.astype(f32)
@@ -554,16 +555,6 @@ def _get_fn(key):
             i0fT.astype(f32), i1fT.astype(f32), bpf, oldj, bpb, bcol,
             i0rT.astype(f32), jnp.zeros_like(bpf)], axis=2)     # [C1, E, 8]
 
-        # re-anchored backward lattice: BMn[q, e, r] = Mb[q, e, r - JS +
-        # (i0r - i0f)] — join shifts become the residual scoring-band lag
-        presh = i0rT - i0fT                                     # [Q1, E]
-        bidx = (presh[:, :, None] - JS
-                + jnp.arange(WB, dtype=i32)[None, None, :])
-        bok = (bidx >= 0) & (bidx < W)
-        bidxc = jnp.clip(bidx, 0, W - 1)
-        BMn = jnp.where(bok, jnp.take_along_axis(Mb, bidxc, axis=2), 0.0)
-        BSn = jnp.where(bok, jnp.take_along_axis(Sb, bidxc, axis=2), 0.0)
-
         # per-(group, step) model values + per-slot states, [G*K, EB, 64]
         mt = jnp.stack([
             batch.lev_mean.astype(f32), batch.lev_stdv.astype(f32),
@@ -593,8 +584,8 @@ def _get_fn(key):
 
         wingeo = cpad(wingeo, C1p)
         colmeta = cpad(colmeta, C1p)
-        BMn = cpad(BMn, C1p)
-        BSn = cpad(BSn, C1p)
+        Mbp = cpad(Mb, C1p)
+        Sbp = cpad(Sb, C1p)
         Mfp = cpad(Mf, C1p)
 
         emi = jnp.stack([n0, ev_region.astype(i32)])[:, :, None]
@@ -603,9 +594,9 @@ def _get_fn(key):
             batch.lik_stay.astype(f32), batch.lik_extend.astype(f32),
             batch.lik_insert.astype(f32)])[:, :, None]
 
-        out = call(st0, qold, qbb, sind, greg,
+        out = call(st0, qold, qbb, sind, greg, qbf,
                    Mfp, wingeo, wingeo, colmeta, colmeta,
-                   BMn, BMn, BSn, BSn, mv, meta, emi, emf)
+                   *([Mbp] * P + [Sbp] * P), mv, meta, emi, emf)
         if debug:
             tot, new, oldd, sel, sa = out
             return (jnp.sum(tot[:, :, :P], axis=1), new[..., 0],
@@ -714,10 +705,15 @@ def wide_fallback_totals(Mf, Sf, Mb, Sb, i0f, bpf, bpb, n0, active,
     return {(int(g), int(t)): float(v) for g, t, v in zip(gs, ts, sums)}
 
 
-def pallas_ok(gp_dm: int, stride: int | None, Ws: int) -> bool:
-    """v2 serves the D<=4 shapes over a uniform-stride batch; the D=32
-    big-indel Mutate shapes and unstrided layouts stay on the XLA kernel."""
-    return gp_dm <= 4 and stride is not None and Ws <= 500
+def pallas_ok(gp_dm: int, stride: int | None, Ws: int,
+              force: bool = False) -> bool:
+    """The fused kernel serves D<=4 shapes over a uniform-stride batch, and
+    by DEFAULT only the narrow Refine-like widths where it measures faster
+    than the XLA group kernel (Ws <= 64); force (PSQ_PALLAS_MUTSCORE=1 or
+    interp tests) extends it to any supported width.  D=32 big-indel Mutate
+    shapes and unstrided layouts always use the XLA kernel."""
+    ok = gp_dm <= 4 and stride is not None and Ws <= 500
+    return ok and (force or Ws <= 64)
 
 
 def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
@@ -749,7 +745,7 @@ def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
     out = fn(
         jnp.asarray(hs["st0"]), jnp.asarray(hs["qold"]),
         jnp.asarray(hs["qbb"]), jnp.asarray(hs["sind"]),
-        jnp.asarray(hs["greg"]),
+        jnp.asarray(hs["greg"]), jnp.asarray(hs["qb"].reshape(-1)),
         batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
         jnp.asarray(i0r_h), jnp.asarray(i1r_h),
         jnp.asarray(ev_region), jnp.asarray(meta),
