@@ -291,8 +291,13 @@ def _consensus(args):
                     if res is not None:  # None = region skipped during load
                         emit(region, res[0], res[1])
 
-        run_chunk(regions, batch, prefetch=True)
-        loader.shutdown(wait=False)
+        try:
+            run_chunk(regions, batch, prefetch=True)
+        finally:
+            # always release the loader thread (and cancel any in-flight
+            # prefetch) — a raise from run_chunk/emit must not leak a
+            # non-daemon worker that delays interpreter exit
+            loader.shutdown(wait=False, cancel_futures=True)
         return
 
     for region in regions:

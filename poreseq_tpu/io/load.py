@@ -70,6 +70,13 @@ def _set_trim_hint(ev, reginfo: RegionInfo, params: dict) -> None:
     ri = update_refs(ev.ref_align)[0]
     if len(ri) == 0 or not np.all(np.isfinite(ri)):
         return
+    # update_refs copies the RAW ref_align at anchor levels, so a
+    # non-monotone BAM seed alignment (a real case — viterbi._position_stats
+    # handles it explicitly) yields a non-monotone ri where searchsorted
+    # results are undefined and the trim could cut genuinely aligned levels.
+    # Trimming is an optimization only: skip it for such reads.
+    if np.any(np.diff(ri) < 0):
+        return
     lo = max(int(np.searchsorted(ri, 1)) - width - pad, 0)
     hi = min(int(np.searchsorted(ri, S, side="right")) + width + pad, n)
     if hi > lo and hi - lo < n - 256:   # only slice when it saves real rows
