@@ -82,26 +82,47 @@ def _join_shift(FM, FS, fa, fbest, BM, BS, ba, bbest, n0, smin, smax, dtype):
 _KERNELS = {}
 
 
-def _pallas_mode(dtype, mesh, E):
-    """Fused Pallas group scorer gating: PSQ_PALLAS_MUTSCORE=1 opt-in (TPU),
-    'interp' interpreter mode (CPU tests), default/0 = the XLA group kernel.
-
-    The fused kernel now BEATS the XLA group kernel at the big Refine-scale
-    calls (1.95 s vs 2.30 s per 8-region 64k-mutation call, 0 accept-sign
-    flips) — but its XLA prologue (windows, per-column joins, model values)
-    is O(C1*E*W) regardless of mutation count, so the many SMALL late-Refine
-    calls pay ~1 s where the XLA kernel pays ~0.2 s, and the uniform-stride
-    batch layout grows every fill: flipping it on wholesale measured 10.7
-    s/region e2e vs 9.5 with the XLA default.  Until the prologue is
-    amortized (or gated by group count), it stays opt-in."""
+def _pallas_mode(dtype, mesh, G):
+    """Fused Pallas group scorer gating.  Default ('auto'): serve a call with
+    the fused kernel only when its group count G is large enough to amortize
+    the kernel's O(C1*E*W) XLA prologue (windows, per-column joins, model
+    values) — the big Refine-scale calls, where the fused kernel beats the
+    XLA group kernel (1.95 s vs 2.30 s per 8-region 64k-mutation call, 0
+    accept-sign flips); small late-Refine / deferred-conflict calls pay ~1 s
+    of prologue where the XLA kernel pays ~0.2 s, so they stay on the XLA
+    kernel.  PSQ_PALLAS_MUTSCORE: '0' = never, '1' = force for every
+    supported shape, 'interp' = interpreter mode (CPU tests);
+    PSQ_PALLAS_G_MIN overrides the auto threshold (default 2048 groups,
+    measured break-even on the bench chip)."""
     env = os.environ.get("PSQ_PALLAS_MUTSCORE", "")
     if env == "0" or mesh is not None:
+        return None
+    # the fused kernel computes in f32 only; f64 (the parity/oracle path)
+    # must never silently degrade to f32 scores
+    if dtype is not jnp.float32:
         return None
     if env == "interp":
         return "interp"
     if env == "1":
         return "force"
+    g_min = int(os.environ.get("PSQ_PALLAS_G_MIN", "2048"))
+    if jax.default_backend() == "tpu" and G >= g_min:
+        return "auto"
     return None
+
+
+def _estimate_groups(muts_list, participate):
+    """Group count the call will produce (_build_groups semantics: one group
+    per <=9 mutations sharing a start, per region) — cheap, computed before
+    the batch layout so the fused-kernel decision can gate on it."""
+    G = 0
+    for r, muts in enumerate(muts_list):
+        if not participate[r] or not muts:
+            continue
+        starts = np.fromiter((m.start for m in muts), np.int64, len(muts))
+        _, counts = np.unique(starts, return_counts=True)
+        G += int(np.sum((counts + 8) // 9))
+    return G
 
 
 def _resolve_gb(Ws: int, K: int) -> int:
@@ -629,18 +650,29 @@ def score_mutations_multi(engine, datas, muts_list):
     if not any(participate):
         return mutscores_list
 
-    # stride layout (uniform per-region rows) when the fused Pallas kernel
-    # may serve this call — it addresses region rows as event blocks
-    pmode = _pallas_mode(engine.dtype, getattr(engine, "mesh", None), 0)
-    ctx = engine._prepare_multi(datas, participate=participate,
-                                stride=pmode is not None)
-    batch, arrays, n0 = ctx["batch"], ctx["arrays"], ctx["n0"]
-    S_e, C, ev_region = ctx["S_e"], ctx["C"], ctx["ev_region"]
     p = datas[0].params
     W = 2 * p.realign_width + 1
     Ws = 2 * min(p.scoring_width, p.realign_width) + 1
     RS = max(p.realign_width - p.scoring_width, 0)
     dtype = engine.dtype
+
+    # decide the serving kernel UP FRONT (shapes + group count are knowable
+    # from params and the mutation list alone): the fused Pallas kernel needs
+    # the uniform-stride batch layout, which only this call's arrays pay for
+    all_muts = [m for r, muts in enumerate(muts_list) if participate[r]
+                for m in muts]
+    K_all, D_all = _mut_buckets(all_muts)
+    G_est = _estimate_groups(muts_list, participate)
+    from .pallas_mutscore import pallas_ok
+
+    pmode = _pallas_mode(engine.dtype, getattr(engine, "mesh", None), G_est)
+    use_pallas = pmode is not None and pallas_ok(
+        D_all, K_all, 1, Ws, W, force=pmode in ("force", "interp"))
+
+    ctx = engine._prepare_multi(datas, participate=participate,
+                                stride=use_pallas)
+    batch, arrays, n0 = ctx["batch"], ctx["arrays"], ctx["n0"]
+    S_e, C, ev_region = ctx["S_e"], ctx["C"], ctx["ev_region"]
 
     fi = fill_geometry(arrays, ctx["ref_indexes"], S_e, C, p.realign_width)
     T = arrays["mean"].shape[1]
@@ -688,9 +720,6 @@ def score_mutations_multi(engine, datas, muts_list):
                 post_ris[row_of[at]] = event_ref_indexes(ev)
             at += 1
 
-    all_muts = [m for r, muts in enumerate(muts_list) if participate[r]
-                for m in muts]
-    K_all, D_all = _mut_buckets(all_muts)
     # region event offsets for per-group slicing: uniform stride rows when
     # strided, else cumulative counts
     ev_counts = np.bincount(ev_region[ev_region >= 0], minlength=len(datas))
@@ -724,10 +753,8 @@ def score_mutations_multi(engine, datas, muts_list):
 
     E = len(n0)
     E_g = min(round_up(max(max_rev, sw or 1), 32), E)
-    from .pallas_mutscore import pallas_ok
 
-    if pmode is not None and pallas_ok(D_all, sw, Ws,
-                                       force=pmode in ("force", "interp")):
+    if use_pallas:
         from .pallas_mutscore import score_groups_pallas
 
         totals_gp = score_groups_pallas(

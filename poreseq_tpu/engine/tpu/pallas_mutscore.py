@@ -705,14 +705,21 @@ def wide_fallback_totals(Mf, Sf, Mb, Sb, i0f, bpf, bpb, n0, active,
     return {(int(g), int(t)): float(v) for g, t, v in zip(gs, ts, sums)}
 
 
-def pallas_ok(gp_dm: int, stride: int | None, Ws: int,
+def pallas_ok(gp_dm: int, K: int, stride: int | None, Ws: int, W: int,
               force: bool = False) -> bool:
     """The fused kernel serves D<=4 shapes over a uniform-stride batch, and
     by DEFAULT only the narrow Refine-like widths where it measures faster
     than the XLA group kernel (Ws <= 64); force (PSQ_PALLAS_MUTSCORE=1 or
     interp tests) extends it to any supported width.  D=32 big-indel Mutate
-    shapes and unstrided layouts always use the XLA kernel."""
-    ok = gp_dm <= 4 and stride is not None and Ws <= 500
+    shapes and unstrided layouts always use the XLA kernel.
+
+    K <= 16 is a hard correctness bound: the NW=16 wingeo halo pairs cover
+    refill rows rel = ((st0+1)&15) + k, so K-1 <= 16 keeps rel < 2*NW —
+    longer substitution windows (K buckets 46/160) would silently clamp to
+    the last halo row in _pairsel.  Ws <= W-71 is the _shift3 staged-roll
+    exactness limit (its stage composition vacates the top <= 71 lanes)."""
+    ok = (gp_dm <= 4 and K <= 16 and stride is not None
+          and Ws <= min(W - 71, 500))
     return ok and (force or Ws <= 64)
 
 
