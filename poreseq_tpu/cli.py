@@ -94,6 +94,7 @@ def main(argv=None):
     parse_var.add_argument("-v", "--verbose", action="count", default=0)
     parse_var.add_argument("--backend", default="exact",
                            choices=["exact", "tpu"])
+    _add_multihost_args(parse_var)
     parse_var.set_defaults(func=variant)
 
     parse_train = subparsers.add_parser(
@@ -109,6 +110,7 @@ def main(argv=None):
                              help="Run consensus by descending from reference")
     parse_train.add_argument("--backend", default="exact",
                              choices=["exact", "tpu"])
+    _add_multihost_args(parse_train)
     parse_train.set_defaults(func=train)
 
     parse_split = subparsers.add_parser("split", help="split fasta files into chunks")
@@ -135,6 +137,18 @@ def main(argv=None):
         parser.print_help()
         return
     args.func(args)
+
+
+def _add_multihost_args(p):
+    """jax.distributed flags shared by the per-region subcommands (consensus
+    declares its own copies inline with subcommand-specific help)."""
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address for multi-host "
+                   "runs (or set PSQ_COORDINATOR)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total processes in the multi-host run")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index in the multi-host run")
 
 
 def parse_regions(args):
@@ -316,6 +330,19 @@ def variant(args):
     args.params = load_params(args.params)
     regions = parse_regions(args)
 
+    # multi-host: regions dealt round-robin, scores go to each process's own
+    # stdout.  The muts partitioning below must still walk EVERY region in
+    # order (it consumes the list sequentially), so sharding only skips the
+    # execution, not the bookkeeping.
+    from .parallel.distributed import init_multihost
+
+    pid, nproc = init_multihost(getattr(args, "coordinator", None),
+                                getattr(args, "num_processes", None),
+                                getattr(args, "process_id", None))
+    if nproc > 1:
+        sys.stderr.write("Process {}/{}: {} of {} regions\n".format(
+            pid, nproc, len(regions[pid::nproc]), len(regions)))
+
     muts = []
     if args.mut_file is not None:
         for line in open(args.mut_file).readlines():
@@ -326,13 +353,15 @@ def variant(args):
 
     if "end_trim" not in args.params:
         args.params["end_trim"] = 0
-    for region in regions:
+    for ri, region in enumerate(regions):
         reginfo = RegionInfo(region)
         curmuts = [x for x in muts
                    if x.start < reginfo.end - args.params["end_trim"]]
         muts = [x for x in muts
                 if x.start >= reginfo.end - args.params["end_trim"]]
         if curmuts == [] and not args.all:
+            continue
+        if nproc > 1 and ri % nproc != pid:
             continue
         try:
             variant_fn(args.ref, args.bam, args.dir, args.fasta, curmuts,
@@ -362,21 +391,43 @@ def train(args):
     tpu backend: one chip can't be shared by a fork pool — the 16 candidates
     run as ONE lockstep batch instead (pipeline.train_candidates), every
     propose/score round batched across candidates."""
+    from .parallel.distributed import allgather_round_robin, init_multihost
+
+    pid, nproc = init_multihost(getattr(args, "coordinator", None),
+                                getattr(args, "num_processes", None),
+                                getattr(args, "process_id", None))
+
     params = load_params(args.params)
     for i in range(args.iter):
-        paramlist = vary_params(params)
+        if nproc > 1:
+            # every process must propose the IDENTICAL candidate list, so the
+            # proposal rng is seeded deterministically from the shared state
+            # (current params + iteration); each process evaluates its
+            # round-robin share and accuracies are allgathered before the
+            # (replicated) argmax — the multi-host form of the reference's
+            # fork pool (cmdline.py:258-259)
+            import random as _random
+
+            seed = "{}|{}".format(i, sorted(params.items()))
+            paramlist = vary_params(params, rng=_random.Random(seed))
+            mine = paramlist[pid::nproc]
+        else:
+            paramlist = vary_params(params)
+            mine = paramlist
         if args.backend == "tpu":
             from .pipeline import train_candidates
 
             seqs = train_candidates(args.ref, args.bam, args.dir, args.region,
-                                    paramlist, descend=args.descend,
+                                    mine, descend=args.descend,
                                     backend=args.backend)
         elif args.threads > 1:
             with Pool(processes=args.threads) as pool:
-                seqs = pool.map(trainhelper(args), paramlist)
+                seqs = pool.map(trainhelper(args), mine)
         else:
-            seqs = [trainhelper(args)(p) for p in paramlist]
+            seqs = [trainhelper(args)(p) for p in mine]
         accs = [s[1] for s in seqs]
+        if nproc > 1:
+            accs = allgather_round_robin(accs, len(paramlist), pid, nproc)
         params = paramlist[int(np.argmax(accs))]
         save_params("train_best.conf", params)
         sys.stderr.write("Best at iter {}: {}\n".format(i + 1, max(accs)))

@@ -36,6 +36,30 @@ def init_multihost(coordinator_address: str | None = None,
     return jax.process_index(), jax.process_count()
 
 
+def allgather_round_robin(local_vals, n_total: int, pid: int, nproc: int):
+    """Gather per-item values evaluated round-robin (items pid::nproc on each
+    process) back into the full replicated [n_total] list — the cross-host
+    reduction of the training hill-climb (every process then takes the same
+    argmax).  Uses jax.experimental.multihost_utils over the jax.distributed
+    client; shards are padded to equal width as allgather requires."""
+    import numpy as np
+
+    if nproc <= 1:
+        return list(local_vals)
+    from jax.experimental import multihost_utils
+
+    width = (n_total + nproc - 1) // nproc
+    buf = np.full(width, -np.inf, dtype=np.float64)
+    buf[: len(local_vals)] = np.asarray(local_vals, dtype=np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    out = np.full(n_total, -np.inf, dtype=np.float64)
+    for p in range(nproc):
+        mine = out[p::nproc]
+        mine[:] = gathered[p][: len(mine)]
+        out[p::nproc] = mine
+    return list(out)
+
+
 def shard_regions(regions: list[str], process_id: int | None = None,
                   num_processes: int | None = None) -> list[str]:
     """Round-robin region assignment for this process (matches the CLI's

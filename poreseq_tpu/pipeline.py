@@ -30,6 +30,25 @@ def mutate(
     """Consensus error correction of one region (Mutate.py:8-101).
 
     Returns (sequence, accuracy-vs-loaded-reference)."""
+    import os as _os
+
+    fake = _os.environ.get("PSQ_FAKE_MUTATE_S")
+    if fake:
+        # scaling-bench hook (scripts/bench_multihost.py --fake-work):
+        # replaces the region's compute with a fixed sleep so the measured
+        # multi-process scaling efficiency isolates the DISTRIBUTED path
+        # (coordinator init, shard dealing, output IO) from this box's
+        # 2-core CPU contention.  Never set in production.
+        import time as _time
+
+        from .io.fasta import load_reference
+
+        _time.sleep(float(fake))
+        ri = RegionInfo(region)
+        refseq = load_reference(fastafile, ri.name)
+        if ri.start is None:
+            ri.start, ri.end = 0, len(refseq)
+        return (refseq[ri.start : ri.end], 0.0)
     params = dict(params or {})
     if "verbose" not in params:
         params["verbose"] = 0

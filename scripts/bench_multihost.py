@@ -37,10 +37,22 @@ def free_port():
 
 
 def main():
+    import argparse
+
     from poreseq_tpu.sim import write_run
 
-    n_regions = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    rl = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_regions", type=int, nargs="?", default=8)
+    ap.add_argument("region_len", type=int, nargs="?", default=250)
+    ap.add_argument("--backend", default="exact", choices=["exact", "tpu"],
+                    help="engine each process runs (tpu = the production "
+                    "TpuEngine path on this host's devices)")
+    ap.add_argument("--fake-work", type=float, default=None, metavar="S",
+                    help="replace each region's compute with an S-second "
+                    "sleep (PSQ_FAKE_MUTATE_S) so the efficiency number "
+                    "isolates the distributed path from CPU contention")
+    args = ap.parse_args()
+    n_regions, rl = args.n_regions, args.region_len
     d = tempfile.mkdtemp(prefix="psqmh_")
     rng = np.random.default_rng(0)
     truth, draft, reads_dir, bam, fasta = write_run(
@@ -58,8 +70,11 @@ def main():
 
     base = [sys.executable, "-m", "poreseq_tpu.cli", "consensus",
             fasta, bam, reads_dir, "-R", rf, "-p", conf, "-i", "2",
-            "--backend", "exact"]
-    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+            "--backend", args.backend]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if args.fake_work is not None:
+        env["PSQ_FAKE_MUTATE_S"] = str(args.fake_work)
 
     def run_n(n):
         out = os.path.join(d, "out{}.fasta".format(n))

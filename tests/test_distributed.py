@@ -92,6 +92,86 @@ def test_two_process_distributed_matches_single(run, tmp_path):
     assert merged == exp
 
 
+@pytest.mark.slow
+def test_two_process_distributed_tpu_engine(run, tmp_path):
+    """The coordinator + TpuEngine combination (the production multi-host
+    configuration): 2 jax.distributed processes each running the TPU engine
+    path on their local CPU device must shard and union exactly like the
+    exact-backend run."""
+    from poreseq_tpu import cli
+    from poreseq_tpu.io.fasta import read_fasta
+
+    def tpu_args(out):
+        a = _cli_args(run, out)
+        a[a.index("exact")] = "tpu"
+        return a
+
+    single = str(tmp_path / "single_tpu.fasta")
+    cli.main(tpu_args(single))
+    exp = read_fasta(single)
+    assert len(exp) == len(REGIONS)
+
+    multi = str(tmp_path / "multi_tpu.fasta")
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "poreseq_tpu.cli"]
+            + tpu_args(multi)
+            + ["--coordinator", "127.0.0.1:{}".format(port),
+               "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = [p.communicate(timeout=1800) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+
+    got0 = read_fasta(multi + ".p0")
+    got1 = read_fasta(multi + ".p1")
+    assert set(got0) == {REGIONS[0], REGIONS[2]}
+    assert set(got1) == {REGIONS[1]}
+    merged = dict(got0)
+    merged.update(got1)
+    assert merged == exp
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train(run, tmp_path, monkeypatch):
+    """Multi-host `train`: 2 coordinated processes each evaluate half the
+    candidate proposals; the allgathered argmax must pick the same best
+    params as a single-process run with the same deterministic seeding."""
+    from poreseq_tpu.core.params import load_params
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    port = _free_port()
+
+    def train_args():
+        return [sys.executable, "-m", "poreseq_tpu.cli", "train",
+                run["fasta"], run["bam"], run["reads"],
+                "-p", run["conf"], "-r", REGIONS[0], "-i", "1", "-n", "1",
+                "--backend", "exact"]
+
+    d2 = str(tmp_path / "two")
+    os.makedirs(d2)
+    procs = [subprocess.Popen(
+        train_args() + ["--coordinator", "127.0.0.1:{}".format(port),
+                        "--num-processes", "2", "--process-id", str(pid)],
+        env=env, cwd=d2, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = [p.communicate(timeout=1800) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    best2 = load_params(os.path.join(d2, "train_best.conf"))
+    assert best2  # a best-params checkpoint was written by the sharded run
+    # both processes agreed on the (replicated) winner: identical best lines
+    lines = [[l for l in se.splitlines() if l.startswith("Best at iter 1")]
+             for _, se in outs]
+    assert lines[0] and lines[0] == lines[1]
+
+
 def test_shard_regions_round_robin():
     from poreseq_tpu.parallel.distributed import shard_regions
 
