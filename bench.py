@@ -64,21 +64,17 @@ def bench_e2e(deadline):
             return time.perf_counter() - t0
 
         t1 = run_once()
-        dt = t1
-        # steady-state reruns while the budget allows (first run is
-        # compile-laden; chip/tunnel timing variance between runs is real,
-        # so the headline uses the best steady run, with the median of all
-        # steady runs reported alongside so the JSON isn't the most
-        # favorable draw only)
+        # steady-state reruns: the first run is compile-laden, and the
+        # tunnel-attached chip has real run-to-run variance (PERF.md), so
+        # the HEADLINE is the MEDIAN of up to 5 steady runs — defensible
+        # against tunnel noise — with the best run in extra
         steady = []
-        while time.monotonic() + dt * 1.2 < deadline:
-            t = run_once()
-            steady.append(t)
-            if t >= dt:
-                dt = min(dt, t)
-                break
-            dt = t
+        while (len(steady) < 5
+               and time.monotonic() + (min(steady) if steady else t1) * 1.2
+               < deadline):
+            steady.append(run_once())
         med = float(np.median(steady)) if steady else t1
+        best = float(min(steady)) if steady else t1
 
         seqs = read_fasta(out)
         # regions are draft coordinates; widen the truth window so draft
@@ -89,13 +85,13 @@ def bench_e2e(deadline):
                 for n, seq in seqs.items()]
         n_out = len(seqs)
         return {
-            "regions_per_hour": 3600.0 * n_out / dt,
-            "s_per_region": dt / max(n_out, 1),
+            "regions_per_hour": 3600.0 * n_out / med,
+            "s_per_region": med / max(n_out, 1),
             "first_run_s": t1,
-            "steady_run_s": dt,
+            "steady_run_best_s": best,
             "steady_run_median_s": med,
-            "s_per_region_median": med / max(n_out, 1),
-            "n_steady_runs": len(steady),
+            "s_per_region_best": best / max(n_out, 1),
+            "steady_runs_s": [round(t, 2) for t in steady],
             "n_regions": n_out,
             "mean_accuracy_pct": float(np.nanmean(accs)) if accs else 0.0,
         }

@@ -440,7 +440,10 @@ def _d_bucket(d: int) -> int:
 
 
 def _g_bucket(g: int) -> int:
-    for b in (128, 1024):
+    # finer steps than the original (128, 1024): padded groups run the full
+    # per-step computation (masked only at the delta sum), so a 480-group
+    # Mutate call padded to 1024 wasted half its scan steps
+    for b in (128, 256, 512, 1024, 2048, 4096):
         if g <= b:
             return b
     return round_up(g, 4096)
@@ -458,6 +461,29 @@ def _mut_buckets(muts_all):
     else:
         K_all, D_all = _k_bucket(7), _d_bucket(1)
     return K_all, D_all
+
+
+def _partition_classes(datas, muts_list, participate):
+    """Partition each region's mutations into (K, D) compile classes, each
+    scored by its own kernel launch.  Kernel cost scales with the K bucket
+    for EVERY group, so one long substitution in a Mutate round otherwise
+    drags the whole call to K=46 (measured +60% on the bench chip for a
+    single 38-base mutation per region); net-indel outliers likewise force
+    the wide D=32 join spans.
+
+    Returns {(K, D): [(muts_subset, original_indexes), ...] per region}."""
+    classes: dict = {}
+    for r, muts in enumerate(muts_list):
+        if not participate[r]:
+            continue
+        for i, m in enumerate(muts):
+            kb = _k_bucket(len(m.mut) + 6)
+            db = _d_bucket(abs(len(m.mut) - len(m.orig)))
+            cls = classes.setdefault(
+                (kb, db), [([], []) for _ in range(len(datas))])
+            cls[r][0].append(m)
+            cls[r][1].append(i)
+    return classes
 
 
 def _mut_windows_fast(sequence, muts, K_all):
@@ -656,18 +682,18 @@ def score_mutations_multi(engine, datas, muts_list):
     RS = max(p.realign_width - p.scoring_width, 0)
     dtype = engine.dtype
 
-    # decide the serving kernel UP FRONT (shapes + group count are knowable
+    # decide the serving kernels UP FRONT (shapes + group count are knowable
     # from params and the mutation list alone): the fused Pallas kernel needs
     # the uniform-stride batch layout, which only this call's arrays pay for
-    all_muts = [m for r, muts in enumerate(muts_list) if participate[r]
-                for m in muts]
-    K_all, D_all = _mut_buckets(all_muts)
+    classes = _partition_classes(datas, muts_list, participate)
     G_est = _estimate_groups(muts_list, participate)
     from .pallas_mutscore import pallas_ok
 
     pmode = _pallas_mode(engine.dtype, getattr(engine, "mesh", None), G_est)
-    use_pallas = pmode is not None and pallas_ok(
-        D_all, K_all, 1, Ws, W, force=pmode in ("force", "interp"))
+    force = pmode in ("force", "interp")
+    use_pallas = pmode is not None and any(
+        pallas_ok(D_c, K_c, 1, Ws, W, force=force)
+        for (K_c, D_c) in classes)
 
     ctx = engine._prepare_multi(datas, participate=participate,
                                 stride=use_pallas)
@@ -729,23 +755,8 @@ def score_mutations_multi(engine, datas, muts_list):
     else:
         ev_offs = np.concatenate(
             [[0], np.cumsum(ev_counts)[:-1]]).astype(np.int32)
-    parts, g_S_parts, g_region_parts, g_evoff_parts = [], [], [], []
-    max_rev = 1
-    for r, (data, muts) in enumerate(zip(datas, muts_list)):
-        if not participate[r]:
-            continue
-        part = _build_groups(data.sequence, muts, K_all)
-        Gr = part["g_start"].shape[0]
-        parts.append(part)
-        g_S_parts.append(np.full(Gr, ctx["S_list"][r], np.int32))
-        g_region_parts.append(np.full(Gr, r, np.int32))
-        g_evoff_parts.append(np.full(Gr, ev_offs[r], np.int32))
-        max_rev = max(max_rev, int(ev_counts[r]))
-    gp = _pad_groups(parts, g_S_parts, g_region_parts)
-    at = 0
-    for pg in g_evoff_parts:
-        gp["g_evoff"][at : at + len(pg)] = pg
-        at += len(pg)
+    max_rev = max([1] + [int(ev_counts[r]) for r in range(len(datas))
+                         if participate[r]])
     P = 9
 
     i0r_h, i1r_h = limited_geometry(post_ris, n0, S_e, C, p.scoring_width)
@@ -753,38 +764,69 @@ def score_mutations_multi(engine, datas, muts_list):
 
     E = len(n0)
     E_g = min(round_up(max(max_rev, sw or 1), 32), E)
+    i0r_d = jnp.asarray(i0r_h)
+    i1r_d = jnp.asarray(i1r_h)
+    ev_region_d = jnp.asarray(ev_region)
 
-    if use_pallas:
-        from .pallas_mutscore import score_groups_pallas
+    # one kernel launch per (K, D) class, all dispatched before any result is
+    # read (the blocking np.asarray would otherwise serialize launches with
+    # their D2H); scores scatter back through each class's index maps
+    launches = []
+    for (K_c, D_c) in sorted(classes):
+        per_region = classes[(K_c, D_c)]
+        parts, g_S_parts, g_region_parts = [], [], []
+        g_evoff_parts, idx_maps = [], []
+        for r, (muts_c, idx_c) in enumerate(per_region):
+            if not muts_c:
+                continue
+            part = _build_groups(datas[r].sequence, muts_c, K_c)
+            Gr = part["g_start"].shape[0]
+            parts.append(part)
+            g_S_parts.append(np.full(Gr, ctx["S_list"][r], np.int32))
+            g_region_parts.append(np.full(Gr, r, np.int32))
+            g_evoff_parts.append(np.full(Gr, ev_offs[r], np.int32))
+            idx_maps.append(np.asarray(idx_c, dtype=np.int64))
+        gp = _pad_groups(parts, g_S_parts, g_region_parts)
+        at = 0
+        for pg in g_evoff_parts:
+            gp["g_evoff"][at : at + len(pg)] = pg
+            at += len(pg)
 
-        totals_gp = score_groups_pallas(
-            batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb, i0r_h, i1r_h,
-            ev_region, gp, arrays, float(p.lik_offset),
-            W, Ws, RS, K_all, P, D_all, sw, interpret=(pmode == "interp"))
-    else:
-        if mesh is not None:
-            kern = _group_kernel_sharded(mesh, W, Ws, RS, K_all, P, D_all,
-                                         dtype)
+        fused_c = use_pallas and pallas_ok(D_c, K_c, sw, Ws, W, force=force)
+        if fused_c:
+            from .pallas_mutscore import score_groups_pallas
+
+            totals_gp = score_groups_pallas(
+                batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb, i0r_h, i1r_h,
+                ev_region, gp, arrays, float(p.lik_offset),
+                W, Ws, RS, K_c, P, D_c, sw, interpret=(pmode == "interp"))
         else:
-            kern = _group_kernel(W, Ws, RS, K_all, P, D_all, dtype, E_g=E_g)
-        totals_gp = np.asarray(kern(
-            batch, Mf, Sf, Mb, Sb, i0f, i1f,
-            jnp.asarray(i0r_h), jnp.asarray(i1r_h), bpf, bpb,
-            jnp.asarray(ev_region),
-            jnp.asarray(gp["g_start"]), jnp.asarray(gp["g_startind"]),
-            jnp.asarray(gp["g_S"]), jnp.asarray(gp["g_region"]),
-            jnp.asarray(gp["g_evoff"]),
-            jnp.asarray(gp["s_mlen"]), jnp.asarray(gp["s_nst"]),
-            jnp.asarray(gp["s_win"]), jnp.asarray(gp["s_valid"]),
-            float(p.lik_offset),
-        ), dtype=np.float64)
+            if mesh is not None:
+                kern = _group_kernel_sharded(mesh, W, Ws, RS, K_c, P, D_c,
+                                             dtype)
+            else:
+                kern = _group_kernel(W, Ws, RS, K_c, P, D_c, dtype, E_g=E_g)
+            totals_gp = kern(
+                batch, Mf, Sf, Mb, Sb, i0f, i1f,
+                i0r_d, i1r_d, bpf, bpb, ev_region_d,
+                jnp.asarray(gp["g_start"]), jnp.asarray(gp["g_startind"]),
+                jnp.asarray(gp["g_S"]), jnp.asarray(gp["g_region"]),
+                jnp.asarray(gp["g_evoff"]),
+                jnp.asarray(gp["s_mlen"]), jnp.asarray(gp["s_nst"]),
+                jnp.asarray(gp["s_win"]), jnp.asarray(gp["s_valid"]),
+                float(p.lik_offset),
+            )
+        launches.append((gp, idx_maps, totals_gp))
 
-    for g in range(gp["G"]):
-        r = int(gp["g_region"][g])
-        if r < 0:
-            continue
-        for t in range(P):
-            mi = gp["s_idx"][g, t]
-            if mi >= 0:
-                mutscores_list[r][mi].score += totals_gp[g, t]
+    for gp, idx_maps, totals_dev in launches:
+        totals_gp = np.asarray(totals_dev, dtype=np.float64)
+        for g in range(gp["G"]):
+            r = int(gp["g_region"][g])
+            if r < 0:
+                continue
+            im = idx_maps[int(gp["g_part"][g])]
+            for t in range(P):
+                mi = gp["s_idx"][g, t]
+                if mi >= 0:
+                    mutscores_list[r][int(im[mi])].score += totals_gp[g, t]
     return mutscores_list

@@ -22,6 +22,7 @@ def test_dryrun_multichip_8():
 
 
 @needs_devices
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [3, 9, 17])
 def test_engine_mesh_consensus_matches_single_device(seed):
     """Full consensus (Mutate + viterbi candidates + Refine) through the
