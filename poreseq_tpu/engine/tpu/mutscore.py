@@ -142,6 +142,36 @@ def _group_kernel(W, Ws, RS, K, P, DM, dtype, E_g=None):
     return _KERNELS[key]
 
 
+def build_windows(mean, stdv, lsr, i0r, Ws, dtype):
+    """Scoring-band data windows [Q1, E, Ws] from per-event levels [E, T]
+    and band anchors i0r [E, Q1].  O(C1*E*Ws) gathers (~1 s at Ws=201 on
+    the bench chip) — built ONCE per scoring call and shared by every
+    (K, D) kernel class (they used to be rebuilt inside every launch)."""
+    Tlev = mean.shape[1]
+    widx = i0r[:, :, None].astype(jnp.int32) - 1 + jnp.arange(
+        Ws, dtype=jnp.int32)[None, None, :]                   # [E, Q1, Ws]
+    wok = (widx >= 0) & (widx < Tlev)
+    widxc = jnp.clip(widx, 0, Tlev - 1).reshape(i0r.shape[0], -1)
+
+    def _bw(src, pv):
+        v = jnp.take_along_axis(src, widxc, axis=1).reshape(
+            i0r.shape[0], -1, Ws)
+        v = jnp.where(wok, v, pv)
+        return jnp.moveaxis(v, 0, 1).astype(dtype)            # [Q1, E, Ws]
+
+    return _bw(mean, 0.0), _bw(stdv, 1.0), _bw(lsr, 0.0)
+
+
+def _windows_fn(Ws, dtype):
+    """Jitted build_windows, cached per (Ws, dtype)."""
+    key = ("win", Ws, str(dtype))
+    if key not in _KERNELS:
+        _KERNELS[key] = jax.jit(
+            lambda mean, stdv, lsr, i0r: build_windows(
+                mean, stdv, lsr, i0r, Ws, dtype))
+    return _KERNELS[key]
+
+
 def _group_kernel_sharded(mesh, W, Ws, RS, K, P, DM, dtype):
     """Group kernel under shard_map: events sharded on 'ev', groups on 'mut';
     per-shard partial deltas (sums over local events) are psum'd over 'ev'
@@ -169,6 +199,7 @@ def _group_kernel_sharded(mesh, W, Ws, RS, K, P, DM, dtype):
                 bspec,                     # batch: every array per-event
                 col_ev, col_ev, col_ev, col_ev,   # Mf Sf Mb Sb [C+1, E, W]
                 ev, ev, ev, ev,            # i0f i1f i0r i1r [E, C+1]
+                col_ev, col_ev, col_ev,    # win_mean/stdv/lsr [Q1, E, Ws]
                 col_ev, col_ev,            # bpf bpb [C+1, E]
                 ev,                        # ev_region
                 mut, mut, mut, mut,        # g_start g_startind g_S g_region
@@ -201,36 +232,22 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g=None):
     CMIN, CMAX = -span, span                 # copied-col-vs-back join range
     FSMIN, FSMAX = -64, RS + 64 + DMAX       # wide-copy seam offset range
 
-    def kernel(batch, Mf, Sf, Mb, Sb, i0f, i1f, i0r, i1r, bpf, bpb,
+    def kernel(batch, Mf, Sf, Mb, Sb, i0f, i1f, i0r, i1r,
+               win_mean, win_stdv, win_lsr, bpf, bpb,
                ev_region, g_start, g_startind, g_S, g_region, g_evoff,
                s_mlen, s_nst, s_win, s_valid, lik_offset):
         """Mf/Sf/Mb/Sb [C+1, E, W] blank-extended, indexed by forward column;
         i0f/i1f [E, C+1] realign geometry; i0r/i1r [E, C+1] scoring-band
-        geometry (post-backtrace, also the window anchors); bpf/bpb [C+1, E];
+        geometry (post-backtrace, also the window anchors);
+        win_mean/win_stdv/win_lsr [Q1, E, Ws] scoring-band data windows
+        (built once per CALL by _windows_fn and shared across the (K, D)
+        kernel classes); bpf/bpb [C+1, E];
         ev_region [E] int32 region id per event; g_* [G] (g_S = the group's
         region sequence length-in-states, g_region its region id — events of
         other regions are masked out of the group's delta sum; g_evoff its
         first event row); s_* [G, P(, K)].  Returns [G, P]."""
         C1, E, _ = Mf.shape
-        Q1 = i0r.shape[1]
-        Tlev = batch.mean.shape[1]
-
-        # scoring-band data windows built on device (one big block gather is
-        # far cheaper than shipping ~35 MB of host-built windows per call)
-        widx = i0r[:, :, None].astype(jnp.int32) - 1 + jnp.arange(
-            Ws, dtype=jnp.int32)[None, None, :]               # [E, Q1, Ws]
-        wok = (widx >= 0) & (widx < Tlev)
-        widxc = jnp.clip(widx, 0, Tlev - 1).reshape(i0r.shape[0], -1)
-
-        def _bw(src, pv):
-            v = jnp.take_along_axis(src, widxc, axis=1).reshape(
-                i0r.shape[0], Q1, Ws)
-            v = jnp.where(wok, v, pv)
-            return jnp.moveaxis(v, 0, 1).astype(dtype)        # [Q1, E, Ws]
-
-        win_mean = _bw(batch.mean, 0.0)
-        win_stdv = _bw(batch.stdv, 1.0)
-        win_lsr = _bw(batch.lsr, 0.0)
+        Q1 = win_mean.shape[0]
         NB = neg_big(dtype)
         rows = jnp.arange(Ws, dtype=jnp.int32)
 
@@ -442,8 +459,10 @@ def _d_bucket(d: int) -> int:
 def _g_bucket(g: int) -> int:
     # finer steps than the original (128, 1024): padded groups run the full
     # per-step computation (masked only at the delta sum), so a 480-group
-    # Mutate call padded to 1024 wasted half its scan steps
-    for b in (128, 256, 512, 1024, 2048, 4096):
+    # Mutate call padded to 1024 wasted half its scan steps; the small 32/64
+    # buckets serve the outlier (K, D) classes split off by
+    # _partition_classes (often <=16 groups) and deferred-conflict rescores
+    for b in (32, 64, 128, 256, 512, 1024, 2048, 4096):
         if g <= b:
             return b
     return round_up(g, 4096)
@@ -767,6 +786,8 @@ def score_mutations_multi(engine, datas, muts_list):
     i0r_d = jnp.asarray(i0r_h)
     i1r_d = jnp.asarray(i1r_h)
     ev_region_d = jnp.asarray(ev_region)
+    win_m, win_s, win_l = _windows_fn(Ws, dtype)(
+        batch.mean, batch.stdv, batch.lsr, i0r_d)
 
     # one kernel launch per (K, D) class, all dispatched before any result is
     # read (the blocking np.asarray would otherwise serialize launches with
@@ -797,7 +818,8 @@ def score_mutations_multi(engine, datas, muts_list):
             from .pallas_mutscore import score_groups_pallas
 
             totals_gp = score_groups_pallas(
-                batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb, i0r_h, i1r_h,
+                batch, Mf, Sf, Mb, Sb, i0f, i1f, (win_m, win_s, win_l),
+                bpf, bpb, i0r_h, i1r_h,
                 ev_region, gp, arrays, float(p.lik_offset),
                 W, Ws, RS, K_c, P, D_c, sw, interpret=(pmode == "interp"))
         else:
@@ -808,7 +830,7 @@ def score_mutations_multi(engine, datas, muts_list):
                 kern = _group_kernel(W, Ws, RS, K_c, P, D_c, dtype, E_g=E_g)
             totals_gp = kern(
                 batch, Mf, Sf, Mb, Sb, i0f, i1f,
-                i0r_d, i1r_d, bpf, bpb, ev_region_d,
+                i0r_d, i1r_d, win_m, win_s, win_l, bpf, bpb, ev_region_d,
                 jnp.asarray(gp["g_start"]), jnp.asarray(gp["g_startind"]),
                 jnp.asarray(gp["g_S"]), jnp.asarray(gp["g_region"]),
                 jnp.asarray(gp["g_evoff"]),

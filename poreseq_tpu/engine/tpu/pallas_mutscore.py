@@ -512,7 +512,8 @@ def _get_fn(key):
     )
 
     def go(st0, qold, qbb, sind, greg, qbf, batch, Mf, Sf, Mb, Sb, i0f, i1f,
-           bpf, bpb, i0r, i1r, ev_region, meta, swin, lik_offset):
+           win_m, win_s, win_l, bpf, bpb, i0r, i1r, ev_region, meta, swin,
+           lik_offset):
         Mf = Mf.astype(f32)
         Sf = Sf.astype(f32)
         Mb = Mb.astype(f32)
@@ -525,20 +526,10 @@ def _get_fn(key):
         i0rT = i0r.astype(i32).T                                # [Q1, E]
         i1rT = i1r.astype(i32).T
 
-        # scoring-band data windows + geometry, one [Q1, E, 3Ws+2] array
-        widx = (i0rT[:, :, None] - 1
-                + jnp.arange(Ws, dtype=i32)[None, None, :])     # [Q1, E, Ws]
-        wok = (widx >= 0) & (widx < T)
-        widxc = jnp.clip(widx, 0, T - 1)
-
-        def _bw(src, pv):
-            v = jnp.take_along_axis(
-                jnp.broadcast_to(src.astype(f32)[None], (Q1,) + src.shape),
-                widxc, axis=2)
-            return jnp.where(wok, v, jnp.asarray(pv, f32))
-
+        # scoring-band windows (shared per call, mutscore.build_windows)
+        # + geometry, one [Q1, E, 3Ws+2] array
         wingeo = jnp.concatenate([
-            _bw(batch.mean, 0.0), _bw(batch.stdv, 1.0), _bw(batch.lsr, 0.0),
+            win_m.astype(f32), win_s.astype(f32), win_l.astype(f32),
             i0rT[:, :, None].astype(f32), i1rT[:, :, None].astype(f32),
         ], axis=2)                                              # [Q1, E, LW]
 
@@ -723,7 +714,7 @@ def pallas_ok(gp_dm: int, K: int, stride: int | None, Ws: int, W: int,
     return ok and (force or Ws <= 64)
 
 
-def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
+def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, wins, bpf, bpb,
                         i0r_h, i1r_h, ev_region, gp, arrays, lik_offset,
                         W, Ws, RS, K, P, DM, EB, interpret=False,
                         debug=False):
@@ -753,8 +744,8 @@ def score_groups_pallas(batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
         jnp.asarray(hs["st0"]), jnp.asarray(hs["qold"]),
         jnp.asarray(hs["qbb"]), jnp.asarray(hs["sind"]),
         jnp.asarray(hs["greg"]), jnp.asarray(hs["qb"].reshape(-1)),
-        batch, Mf, Sf, Mb, Sb, i0f, i1f, bpf, bpb,
-        jnp.asarray(i0r_h), jnp.asarray(i1r_h),
+        batch, Mf, Sf, Mb, Sb, i0f, i1f, wins[0], wins[1], wins[2],
+        bpf, bpb, jnp.asarray(i0r_h), jnp.asarray(i1r_h),
         jnp.asarray(ev_region), jnp.asarray(meta),
         jnp.asarray(gp["s_win"]), float(lik_offset))
     if debug:

@@ -33,6 +33,17 @@ def init_multihost(coordinator_address: str | None = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+    # read identity from the coordination client, NOT jax.process_index():
+    # the latter initializes the device backend, which for the shared-nothing
+    # region workload is pure overhead (and the multi-process CPU backend
+    # used by tests/proxies has seconds-to-minutes init variance); compute
+    # paths that need global devices (train's allgather, real multi-host
+    # meshes) still initialize it lazily on first use
+    from jax._src import distributed as _dist
+
+    gs = _dist.global_state
+    if gs.process_id is not None and gs.num_processes is not None:
+        return int(gs.process_id), int(gs.num_processes)
     return jax.process_index(), jax.process_count()
 
 

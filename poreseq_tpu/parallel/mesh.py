@@ -79,12 +79,13 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
            s_valid, lik_offset, S_real) -> (scores [E], totals [G, P], accept)
     """
     from ..engine.tpu.dp import make_fill
-    from ..engine.tpu.mutscore import _group_kernel
+    from ..engine.tpu.mutscore import _group_kernel, build_windows
 
     fill = make_fill(width, dtype)
     fill_ns = make_fill(width, dtype, need_steps=False)
     RS = max(width - scoring_width, 0)
-    kern = _group_kernel(2 * width + 1, 2 * scoring_width + 1, RS, K, Pslots,
+    Ws = 2 * scoring_width + 1
+    kern = _group_kernel(2 * width + 1, Ws, RS, K, Pslots,
                          DM, dtype)
 
     def local_step(batch, states, i0, i1, win0f, reff, win0b, refb, is_pad,
@@ -102,7 +103,10 @@ def sharded_consensus_step(mesh: Mesh, width: int, scoring_width: int,
         zrow = jnp.zeros((1, resf.M.shape[1]), resf.M.dtype)
         bpf = jnp.concatenate([zrow, resf.best_pfx])
         bpb = jnp.concatenate([zrow, resb.best_pfx])
-        part = kern(batch, Mf, Sf, Mb, Sb, i0, i1, i0r, i1r, bpf, bpb,
+        win_m, win_s, win_l = build_windows(batch.mean, batch.stdv,
+                                            batch.lsr, i0r, Ws, dtype)
+        part = kern(batch, Mf, Sf, Mb, Sb, i0, i1, i0r, i1r,
+                    win_m, win_s, win_l, bpf, bpb,
                     ev_region, g_start, g_startind, g_S, g_region, g_evoff,
                     s_mlen, s_nst, s_win, s_valid, lik_offset)
         totals = jax.lax.psum(part, "ev")

@@ -35,7 +35,7 @@ def main():
                                  coverage=10, draft_error=0.02, backend="tpu",
                                  params=dict(params))
         d = AlignData.from_session(pa)
-        d.params.scoring_width = d.params.point_width
+        d.params.scoring_width = 20          # as Refine does (point_width)
         datas.append(d)
         muts_list.append(find_point_mutations(d))
     eng = TpuEngine()
