@@ -105,8 +105,14 @@ def _pallas_mode(dtype, mesh, G):
         return "interp"
     if env == "1":
         return "force"
-    g_min = int(os.environ.get("PSQ_PALLAS_G_MIN", "2048"))
-    if jax.default_backend() == "tpu" and G >= g_min:
+    # auto mode (fused for big-G calls) is opt-in via PSQ_PALLAS_G_MIN:
+    # round 5's interleaved A/B measured the shared-window XLA kernel FASTER
+    # than the fused kernel at Refine scale (59.9 s vs 65.4 s median per
+    # batch-8 run — PERF.md round 5), so the XLA group kernel is the
+    # default; the remaining fused-prologue overhead (mv6 model-value
+    # gather, colmeta joins) is the flip's outstanding cost
+    g_min = os.environ.get("PSQ_PALLAS_G_MIN", "")
+    if g_min and jax.default_backend() == "tpu" and G >= int(g_min):
         return "auto"
     return None
 

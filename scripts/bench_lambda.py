@@ -96,6 +96,9 @@ def main():
     res = dict(
         genome_bp=args.genome, coverage=args.coverage, batch=args.batch,
         regions=len(regions), regions_done=n_out,
+        # regions the CLI skipped (stderr says why — typically a short tail
+        # stub with no aligned reads, which is legitimately uncorrectable)
+        regions_skipped=len(regions) - n_out,
         consensus_s=round(dt, 1),
         kb_per_hour=round(3600.0 * args.genome / 1000.0 / dt, 1),
         regions_per_hour=round(3600.0 * n_out / dt, 1),
