@@ -432,8 +432,11 @@ def _group_kernel_body(W, Ws, RS, K, P, DM, dtype, E_g=None):
         # per-step fixed costs (gather setup, scan machinery) — with the
         # event-sliced groups the per-group tensors are small, so wider
         # blocks pay off for the narrow Refine shapes (Ws~41, K~7) but spill
-        # VMEM on the wide Mutate-round shapes (Ws~201, K 16-46)
-        GB = _resolve_gb(Ws, K)
+        # VMEM on the wide Mutate-round shapes (Ws~201, K 16-46).  Clamped
+        # to the (static) group count: small G buckets and mut-axis shards
+        # can leave G below the configured block (G=16 per shard on a
+        # 2-way 'mut' mesh with the 32-group bucket).
+        GB = min(_resolve_gb(Ws, K), g_start.shape[0])
         xs = (g_start, g_startind, g_S, g_region, g_evoff, s_mlen, s_nst,
               s_win, s_valid)
         G = g_start.shape[0]

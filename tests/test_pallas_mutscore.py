@@ -78,6 +78,7 @@ def _compare(a_list, b_list):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_pallas_mutscore_single_region(monkeypatch):
     rng = np.random.default_rng(7)
     pa, _ = _session(seed=11, ref_len=120, coverage=3, draft_error=0.04)

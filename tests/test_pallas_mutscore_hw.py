@@ -53,9 +53,9 @@ def test_pallas_mutscore_hw_parity_refine(monkeypatch):
                              coverage=10, draft_error=0.03, backend="tpu",
                              params=dict(PROD))
     data = AlignData.from_session(pa)
-    data.params.scoring_width = data.params.point_width  # as Refine does
+    data.params.scoring_width = PROD["point_width"]      # as Refine does
     muts = find_point_mutations(data)
-    assert len(muts) > 8000  # production Refine scale
+    assert len(muts) > 7000  # production Refine scale (~9 per base - ends)
 
     xla = _scores(monkeypatch, "0", [data], [muts])[0]
     fused = _scores(monkeypatch, "1", [data], [muts])[0]

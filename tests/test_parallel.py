@@ -12,6 +12,8 @@ needs_devices = pytest.mark.skipif(
 
 
 @needs_devices
+@pytest.mark.slow   # ~6 min; the driver exercises dryrun_multichip(8)
+                    # separately every round (MULTICHIP_rN)
 def test_dryrun_multichip_8():
     import sys
 

@@ -90,6 +90,7 @@ def test_cli_resume_and_shards(run, tmp_path):
     assert read_fasta(out2) == {}
 
 
+@pytest.mark.slow
 def test_train_one_iter(run, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)
     cli.main(["train", run["fasta"], run["bam"], run["reads"],
