@@ -47,28 +47,40 @@ def init_multihost(coordinator_address: str | None = None,
     return jax.process_index(), jax.process_count()
 
 
+_AG_ROUND = [0]
+
+
 def allgather_round_robin(local_vals, n_total: int, pid: int, nproc: int):
     """Gather per-item values evaluated round-robin (items pid::nproc on each
     process) back into the full replicated [n_total] list — the cross-host
     reduction of the training hill-climb (every process then takes the same
-    argmax).  Uses jax.experimental.multihost_utils over the jax.distributed
-    client; shards are padded to equal width as allgather requires."""
-    import numpy as np
+    argmax).
 
+    Implemented over the jax.distributed coordination service's key-value
+    store, NOT device collectives: the values are a handful of floats, and
+    device-backend allgather would require a cross-process collectives
+    backend (e.g. CPU tests have none — multihost_utils.process_allgather
+    silently returns only the local shard there).  Every process must call
+    this the same number of times in the same order (the per-call round id
+    keys the exchange)."""
     if nproc <= 1:
         return list(local_vals)
-    from jax.experimental import multihost_utils
+    import json
 
-    width = (n_total + nproc - 1) // nproc
-    buf = np.full(width, -np.inf, dtype=np.float64)
-    buf[: len(local_vals)] = np.asarray(local_vals, dtype=np.float64)
-    gathered = np.asarray(multihost_utils.process_allgather(buf))
-    out = np.full(n_total, -np.inf, dtype=np.float64)
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    rnd = _AG_ROUND[0]
+    _AG_ROUND[0] += 1
+    client.key_value_set("psq_ag/{}/{}".format(rnd, pid),
+                         json.dumps([float(v) for v in local_vals]))
+    out = [None] * n_total
     for p in range(nproc):
-        mine = out[p::nproc]
-        mine[:] = gathered[p][: len(mine)]
-        out[p::nproc] = mine
-    return list(out)
+        vals = json.loads(client.blocking_key_value_get(
+            "psq_ag/{}/{}".format(rnd, p), 600_000))
+        for i, v in zip(range(p, n_total, nproc), vals):
+            out[i] = v
+    return out
 
 
 def shard_regions(regions: list[str], process_id: int | None = None,

@@ -148,10 +148,19 @@ def test_two_process_distributed_train(run, tmp_path, monkeypatch):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     port = _free_port()
 
+    # vary_params proposes over the strand-suffixed transition keys
+    # (Params.py:50-57) — the shared fixture conf has none, so extend it
+    tconf = str(tmp_path / "train.conf")
+    with open(tconf, "w") as f:
+        f.write(open(run["conf"]).read())
+        f.write("skip_t = 0.141\nskip_c = 0.088\nstay_t = 0.043\n"
+                "stay_c = 0.057\nextend_t = 0.072\nextend_c = 0.046\n"
+                "insert_t = 0.020\ninsert_c = 0.025\n")
+
     def train_args():
         return [sys.executable, "-m", "poreseq_tpu.cli", "train",
                 run["fasta"], run["bam"], run["reads"],
-                "-p", run["conf"], "-r", REGIONS[0], "-i", "1", "-n", "1",
+                "-p", tconf, "-r", REGIONS[0], "-i", "1", "-n", "1",
                 "--backend", "exact"]
 
     d2 = str(tmp_path / "two")
