@@ -7,10 +7,15 @@ before the mutation at scoring width for P=9 slots at once, join the
 selected refill column with the precomputed backward lattice, and difference
 against the pre-mutation fwd x back join.
 
-This replaces the XLA scan kernel in mutscore.py for the f32 single-device
-path with net-indel bound D <= 4 (the dominant Refine and point-Mutate
-shapes); that kernel is op-overhead bound (~122k small vector-op dispatches
-per Refine-scale call, ~2.3 s against a ~10 ms speed of light — PERF.md).
+Serving status (round 5): OPT-IN.  With the scoring-band windows hoisted
+out of both kernels (mutscore.build_windows), isolated Refine-scale calls
+measure this kernel faster than the XLA group kernel (1.7 s vs 2.2 s) but
+two interleaved e2e A/Bs came out neutral-to-tied (PERF.md round 5), so
+the XLA kernel stays the default; enable with PSQ_PALLAS_MUTSCORE=1 or
+auto-by-group-count with PSQ_PALLAS_G_MIN.  Serves f32 single-device
+shapes with net-indel bound D <= 4 and K <= 16 (pallas_ok); hardware
+parity is asserted by tests/test_pallas_mutscore_hw.py (zero accept-sign
+flips at production Refine shape).
 
 v1 of this kernel (grid (G, K), 58 operands) was hardware-correct but paid
 ~90 us of per-step operand machinery across 57k grid steps.  v2 structure:
