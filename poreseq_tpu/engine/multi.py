@@ -152,13 +152,22 @@ def find_mutations_multi(engine, datas, seqs_list, live=None):
         cur_rows += rows
     if cur:
         chunks.append(cur)
+    # dispatch every chunk's fill BEFORE reading any chunk's result: the
+    # blocking likes read of chunk N otherwise serializes with chunk N+1's
+    # host packing + H2D upload (defer=True returns a finish() closure that
+    # performs the reads; see TpuEngine.score_alignments_multi)
+    pending = []
     for chunk in chunks:
         likes_list = [np.zeros(len(seq), dtype=np.float64)
                       for _, seq, _ in chunk]
         # likes_only: the snapshots are discarded after their likes are read,
         # so no [E, T] realignment output ever crosses the device boundary
-        engine.score_alignments_multi([nd for _, _, nd in chunk],
-                                      likes_list=likes_list, likes_only=True)
+        fin = engine.score_alignments_multi([nd for _, _, nd in chunk],
+                                            likes_list=likes_list,
+                                            likes_only=True, defer=True)
+        pending.append((chunk, likes_list, fin))
+    for chunk, likes_list, fin in pending:
+        fin()
         for (r, seq, _), likes in zip(chunk, likes_list):
             datas[r].seqlikes[seq] = likes
         if verbose:

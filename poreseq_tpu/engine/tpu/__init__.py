@@ -239,7 +239,8 @@ class TpuEngine:
         return self.score_alignments_multi([data], [likes])[0]
 
     def score_alignments_multi(self, datas: list[AlignData], likes_list=None,
-                               participate=None, likes_only=False):
+                               participate=None, likes_only=False,
+                               defer=False):
         """ScoreAlignments for R regions in one fused fill+backtrace call:
         realign all events (updating them in place), return per-region score
         lists, optionally accumulate per-region per-base likes (computed on
@@ -250,7 +251,14 @@ class TpuEngine:
 
         likes_only: the candidate-scoring mode — events are NOT updated and
         nothing [E, T]-sized is read back from the device; only per-event
-        scores and the [E, C] likes values cross the boundary."""
+        scores and the [E, C] likes values cross the boundary.
+
+        defer: return a zero-arg finish() closure instead of the result —
+        the device program is DISPATCHED but no D2H read happens until
+        finish() runs.  Callers with several independent calls (the
+        candidate-chunk loop) dispatch them all first so chunk N+1's host
+        prep + H2D overlaps chunk N's device time; each blocking read
+        otherwise serializes the whole pipeline through the tunnel."""
         if likes_list is None:
             likes_list = [None] * len(datas)
         if participate is None:
@@ -287,33 +295,36 @@ class TpuEngine:
             best, ral, rlk_dev, vals = fused(*fused_args, t_pad=T,
                                              max_steps=max_steps,
                                              n_like=n_like)
-        if ral is not None:
-            ral = np.asarray(ral, dtype=np.float64)
-        best = np.asarray(best, dtype=np.float64)
-        any_likes = any(l is not None for l in likes_list)
-        vals_h = np.asarray(vals, dtype=np.float64) if any_likes else None
+        def finish(ral_dev=ral):
+            ral_h = (np.asarray(ral_dev, dtype=np.float64)
+                     if ral_dev is not None else None)
+            best_h = np.asarray(best, dtype=np.float64)
+            any_likes = any(l is not None for l in likes_list)
+            vals_h = np.asarray(vals, dtype=np.float64) if any_likes else None
 
-        out = []
-        e = 0
-        for r, data in enumerate(datas):
-            if not participate[r]:
-                e += len(data.events)
-                out.append(None)
-                continue
-            scores = []
-            S_r = ctx["S_list"][r]
-            n_bases = len(data.sequence)
-            for ev in data.events:
-                if ral is not None and arrays["active"][e]:
-                    ev.ref_align = place_full(ev, ral[e])
-                    self._defer_rlk(ev, rlk_dev, e)
-                scores.append(float(best[e]))
-                if likes_list[r] is not None:
-                    likes_list[r] += self._likes_slice(vals_h[e], S_r,
-                                                       n_bases)
-                e += 1
-            out.append(scores)
-        return out
+            out = []
+            e = 0
+            for r, data in enumerate(datas):
+                if not participate[r]:
+                    e += len(data.events)
+                    out.append(None)
+                    continue
+                scores = []
+                S_r = ctx["S_list"][r]
+                n_bases = len(data.sequence)
+                for ev in data.events:
+                    if ral_h is not None and arrays["active"][e]:
+                        ev.ref_align = place_full(ev, ral_h[e])
+                        self._defer_rlk(ev, rlk_dev, e)
+                    scores.append(float(best_h[e]))
+                    if likes_list[r] is not None:
+                        likes_list[r] += self._likes_slice(vals_h[e], S_r,
+                                                           n_bases)
+                    e += 1
+                out.append(scores)
+            return out
+
+        return finish if defer else finish()
 
     def map_alignments(self, data: AlignData, newseq: str):
         # host-side SW remap (same numerics as the exact engine)
@@ -339,6 +350,16 @@ class TpuEngine:
 
         return viterbi_mutate_tpu(events, nkeep, skip_prob, stay_prob,
                                   mut_min, mut_max, verbose)
+
+    def viterbi_mutate_multi(self, events_lists, nkeep, skip_prob, stay_prob,
+                             mut_min, mut_max, verbose=False):
+        """ViterbiMutate for R regions in one device round-trip; per-region
+        candidates equal the solo viterbi_mutate outputs (engine/tpu/
+        viterbi.py:viterbi_mutate_tpu_multi)."""
+        from .viterbi import viterbi_mutate_tpu_multi
+
+        return viterbi_mutate_tpu_multi(events_lists, nkeep, skip_prob,
+                                        stay_prob, mut_min, mut_max, verbose)
 
     @staticmethod
     def swalign(seq1: str, seq2: str):

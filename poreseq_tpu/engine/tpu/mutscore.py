@@ -168,6 +168,78 @@ def build_windows(mean, stdv, lsr, i0r, Ws, dtype):
     return _bw(mean, 0.0), _bw(stdv, 1.0), _bw(lsr, 0.0)
 
 
+def _geom_body(ral, n0, S_e, width: int, C: int):
+    """Post-backtrace scoring-band geometry ON DEVICE: update_refs
+    (cpp/EventData.h:110-169) + band placement + rate limit, vectorized over
+    events — so the group kernels can be dispatched WITHOUT the host reading
+    `ral` first (the mid-call D2H sync was ~0.3 s x 15 calls per batch-8 run).
+
+    Bit-matches pack.limited_geometry(event_ref_indexes(...)) up to f32-vs-f64
+    interpolation at exact band-boundary crossings (f32 TPU path only; the
+    f64 oracle-parity path keeps the host geometry)."""
+    E, T = ral.shape
+    idx = jnp.arange(T, dtype=jnp.int32)
+    validp = idx[None, :] < n0[:, None]
+    anch = (ral > 0) & validp
+    has = jnp.any(anch, axis=1)
+    ar = jnp.arange(E)
+    ra0 = jnp.argmax(anch, axis=1).astype(jnp.int32)
+    ra1 = (T - 1 - jnp.argmax(anch[:, ::-1], axis=1)).astype(jnp.int32)
+    f0 = ral[ar, ra0]
+    f1 = ral[ar, ra1]
+    al_m = (f1 - f0) / (ra1 - ra0).astype(ral.dtype)       # nan when ra1==ra0
+    al_b = f0 - al_m * ra0
+
+    # interior interpolation between consecutive anchors; the reference's
+    # `if (lastal > 0)` quirk keeps the raw value when the left anchor is
+    # at level 0 (core/events.py update_refs)
+    left = jax.lax.cummax(jnp.where(anch, idx[None], -1), axis=1)
+    right = jax.lax.cummin(jnp.where(anch, idx[None], T), axis=1, reverse=True)
+    lv = jnp.take_along_axis(ral, jnp.clip(left, 0, T - 1), axis=1)
+    rv = jnp.take_along_axis(ral, jnp.clip(right, 0, T - 1), axis=1)
+    m = (rv - lv) / (right - left).astype(ral.dtype)
+    interp = m * (idx[None] - left).astype(ral.dtype) + lv
+    flank = (idx[None, :] < ra0[:, None]) | (idx[None, :] > ra1[:, None])
+    ri = jnp.where(flank,
+                   al_m[:, None] * idx[None].astype(ral.dtype) + al_b[:, None],
+                   ral)
+    ri = jnp.where((~flank) & (~anch) & (left > 0), interp, ri)
+    # levels past n0 (and whole inactive events) sort above every refind so
+    # the lower bound never lands there — matching the host's length-n0 arrays
+    ri = jnp.where(validp & has[:, None], ri, jnp.asarray(jnp.inf, ral.dtype))
+
+    refinds = jnp.arange(1, C + 1, dtype=ral.dtype)
+    imid = jax.vmap(lambda r: jnp.searchsorted(r, refinds, side="left"))(ri)
+    imid = jnp.clip(imid.astype(jnp.int32), 1, jnp.maximum(n0, 1)[:, None])
+    lo = jnp.maximum(imid - width, 1)
+    hi = jnp.minimum(imid + width, n0[:, None]).astype(jnp.int32)
+
+    # rate limit (starts advance <= DMAX/col): i0'[j] = min_k<=j i0[k]+(j-k)D
+    j = jnp.arange(1, C + 1, dtype=jnp.int32)[None, :]
+    lo_lim = j * DMAX + jax.lax.cummin(lo.astype(jnp.int32) - j * DMAX,
+                                       axis=1)
+
+    i0 = jnp.concatenate([jnp.zeros((E, 1), jnp.int32), lo_lim], axis=1)
+    i1 = jnp.concatenate([n0[:, None].astype(jnp.int32), hi], axis=1)
+    # the W-rectangle clamp applies to EVERY column incl. the blank col 0
+    # (limited_geometry clamps before padding)
+    i1 = jnp.minimum(i1, i0 + 2 * width)
+    cols = jnp.arange(C + 1, dtype=jnp.int32)[None, :]
+    anchor = jnp.take_along_axis(i0, jnp.minimum(S_e, C)[:, None], axis=1)
+    beyond = cols > S_e[:, None]
+    i0 = jnp.where(beyond, anchor, i0)
+    i1 = jnp.where(beyond, 0, i1)
+    return i0, i1
+
+
+def _geom_fn(width: int, C: int):
+    key = ("geom", width, C)
+    if key not in _KERNELS:
+        _KERNELS[key] = jax.jit(
+            lambda ral, n0, S_e: _geom_body(ral, n0, S_e, width, C))
+    return _KERNELS[key]
+
+
 def _windows_fn(Ws, dtype):
     """Jitted build_windows, cached per (Ws, dtype)."""
     key = ("win", Ws, str(dtype))
@@ -743,36 +815,49 @@ def score_mutations_multi(engine, datas, muts_list):
         fused = FUSED.both_dev(p.realign_width, dtype)
         Mf, Sf, Mb, Sb, bpf, bpb, ral, rlk = fused(
             *fused_args, t_pad=T, max_steps=max_steps)
-    ral = np.asarray(ral, dtype=np.float64)
-    defer = getattr(engine, "_defer_rlk", None)
-    rlk_h = None
     row_of = ctx["row_of"]
-    at = 0
-    for r, data in enumerate(datas):
-        for ev in data.events:
-            e = row_of[at]
-            at += 1
-            if participate[r] and arrays["active"][e]:
-                ev.ref_align = place_full(ev, ral[e])
-                if defer is not None:
-                    defer(ev, rlk, e)   # read at the next sync point
-                else:
-                    if rlk_h is None:
-                        rlk_h = np.asarray(rlk, np.float64)
-                    ev.ref_like = place_full(ev, rlk_h[e])
+
+    def update_events(ral_h):
+        """Place backtrace outputs into the events (ref_like deferred)."""
+        defer = getattr(engine, "_defer_rlk", None)
+        rlk_h = None
+        at = 0
+        for r, data in enumerate(datas):
+            for ev in data.events:
+                e = row_of[at]
+                at += 1
+                if participate[r] and arrays["active"][e]:
+                    ev.ref_align = place_full(ev, ral_h[e])
+                    if defer is not None:
+                        defer(ev, rlk, e)   # read at the next sync point
+                    else:
+                        if rlk_h is None:
+                            rlk_h = np.asarray(rlk, np.float64)
+                        ev.ref_like = place_full(ev, rlk_h[e])
+
+    # post-backtrace scoring-band geometry (the reference recomputes band
+    # centers from the refreshed ref_index, Alignment.cpp:131-132).  On the
+    # f32 single-device path it is computed ON DEVICE from the backtrace
+    # output (_geom_body) so the group kernels dispatch without a host sync
+    # between the dual fill and the scoring launches; `ral` is then read
+    # AFTER all launches (the blocking read overlaps kernel execution).
+    use_dev_geom = (mesh is None and dtype is jnp.float32 and not use_pallas
+                    and os.environ.get("PSQ_DEV_GEOM", "1") != "0")
+    if not use_dev_geom:
+        ral_h = np.asarray(ral, dtype=np.float64)
+        update_events(ral_h)
 
     i0f = jnp.asarray(fi["i0"])
     i1f = jnp.asarray(fi["i1"])
 
-    # post-backtrace scoring-band geometry (the reference recomputes band
-    # centers from the refreshed ref_index, Alignment.cpp:131-132)
     post_ris = [np.zeros(0)] * len(n0)
-    at = 0
-    for r, data in enumerate(datas):
-        for ev in data.events:
-            if participate[r]:
-                post_ris[row_of[at]] = event_ref_indexes(ev)
-            at += 1
+    if not use_dev_geom:
+        at = 0
+        for r, data in enumerate(datas):
+            for ev in data.events:
+                if participate[r]:
+                    post_ris[row_of[at]] = event_ref_indexes(ev)
+                at += 1
 
     # region event offsets for per-group slicing: uniform stride rows when
     # strided, else cumulative counts
@@ -787,13 +872,18 @@ def score_mutations_multi(engine, datas, muts_list):
                          if participate[r]])
     P = 9
 
-    i0r_h, i1r_h = limited_geometry(post_ris, n0, S_e, C, p.scoring_width)
-    i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
-
     E = len(n0)
     E_g = min(round_up(max(max_rev, sw or 1), 32), E)
-    i0r_d = jnp.asarray(i0r_h)
-    i1r_d = jnp.asarray(i1r_h)
+    if use_dev_geom:
+        i0r_h = i1r_h = None
+        i0r_d, i1r_d = _geom_fn(p.scoring_width, int(C))(
+            ral, batch.n0, jnp.asarray(S_e, jnp.int32))
+        i1r_d = jnp.minimum(i1r_d, i0r_d + (Ws - 1))
+    else:
+        i0r_h, i1r_h = limited_geometry(post_ris, n0, S_e, C, p.scoring_width)
+        i1r_h = np.minimum(i1r_h, i0r_h + (Ws - 1))
+        i0r_d = jnp.asarray(i0r_h)
+        i1r_d = jnp.asarray(i1r_h)
     ev_region_d = jnp.asarray(ev_region)
     win_m, win_s, win_l = _windows_fn(Ws, dtype)(
         batch.mean, batch.stdv, batch.lsr, i0r_d)
@@ -848,6 +938,11 @@ def score_mutations_multi(engine, datas, muts_list):
                 float(p.lik_offset),
             )
         launches.append((gp, idx_maps, totals_gp))
+
+    if use_dev_geom:
+        # every scoring launch is in flight: the blocking `ral` read now
+        # overlaps kernel execution instead of gating their dispatch
+        update_events(np.asarray(ral, dtype=np.float64))
 
     for gp, idx_maps, totals_dev in launches:
         totals_gp = np.asarray(totals_dev, dtype=np.float64)

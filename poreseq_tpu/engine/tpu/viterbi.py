@@ -307,30 +307,217 @@ def viterbi_mutate_tpu(events, nkeep, skip_prob, stay_prob, mut_min, mut_max,
     fwds_p = jnp.concatenate(
         [fwds, jnp.full((R_pad - R, 1024), 1.0 / 1024.0, fwds.dtype)])
 
-    if "bt" not in _SWEEP_CACHE:
-        def backtrace(T, fwds_j, valid, startst, atten, key):
-            def step(carry, xs):
-                cur, key = carry
-                f, ok = xs
-                key, sub = jax.random.split(key)
-                probs = T[cur] * jnp.power(f, atten)
-                probs = probs / jnp.sum(probs)
-                nxt = jax.random.categorical(sub, jnp.log(probs + 1e-300))
-                nxt = jnp.where(ok, nxt.astype(jnp.int32), cur)
-                return (nxt, key), cur
-
-            (_, _), states_rev = jax.lax.scan(
-                step, (startst, key), (fwds_j, valid), reverse=True)
-            return states_rev
-
-        _SWEEP_CACHE["bt"] = jax.jit(jax.vmap(
-            backtrace, in_axes=(None, None, None, None, 0, 0)))
-
     keys = jax.random.split(jax.random.PRNGKey(seed), nkeep)
     attens = jnp.asarray(
         [mut_min + (mut_max - mut_min) * k / float(nkeep) for k in range(nkeep)])
     valid = jnp.arange(R_pad) < R
-    paths = _SWEEP_CACHE["bt"](T, jnp.asarray(fwds_p), valid,
-                               jnp.int32(startst), attens, keys)
+    paths = _bt_fn()(T, jnp.asarray(fwds_p), valid, jnp.int32(startst),
+                     attens, keys)
     paths = np.asarray(paths)[:, :R]
     return [_states_to_seq(paths[k]) for k in range(nkeep)]
+
+
+def _backtrace_one(T, fwds_j, valid, startst, atten, key):
+    """One stochastic backtrace (Viterbi.cpp:403-423 via counted PRNG).  The
+    per-row key is fold_in(key, row) rather than a carried split chain, so the
+    sampled path at each REAL row is independent of how the row axis was
+    padded — a region scored inside a multi-region batch (shared R_pad)
+    yields exactly the candidates its solo call would."""
+    rowidx = jnp.arange(fwds_j.shape[0], dtype=jnp.int32)
+
+    def step(cur, xs):
+        f, ok, i = xs
+        sub = jax.random.fold_in(key, i)
+        probs = T[cur] * jnp.power(f, atten)
+        probs = probs / jnp.sum(probs)
+        nxt = jax.random.categorical(sub, jnp.log(probs + 1e-300))
+        nxt = jnp.where(ok, nxt.astype(jnp.int32), cur)
+        return nxt, cur
+
+    _, states_rev = jax.lax.scan(step, startst, (fwds_j, valid, rowidx),
+                                 reverse=True)
+    return states_rev
+
+
+def _bt_fn():
+    if "bt" not in _SWEEP_CACHE:
+        _SWEEP_CACHE["bt"] = jax.jit(jax.vmap(
+            _backtrace_one, in_axes=(None, None, None, None, 0, 0)))
+    return _SWEEP_CACHE["bt"]
+
+
+def _bt_multi_fn():
+    if "bt_multi" not in _SWEEP_CACHE:
+        # outer vmap over regions (fwds, valid, start), inner over candidates
+        _SWEEP_CACHE["bt_multi"] = jax.jit(jax.vmap(
+            jax.vmap(_backtrace_one, in_axes=(None, None, None, None, 0, 0)),
+            in_axes=(None, 0, 0, 0, None, None)))
+    return _SWEEP_CACHE["bt_multi"]
+
+
+def _b_bucket(b: int) -> int:
+    for p in (1, 2, 4, 8, 16):
+        if b <= p:
+            return p
+    return ((b + 15) // 16) * 16
+
+
+def viterbi_mutate_tpu_multi(events_lists, nkeep, skip_prob, stay_prob,
+                             mut_min, mut_max, verbose=False, seed: int = 0):
+    """ViterbiMutate for R regions in ONE device round-trip.
+
+    The per-region sweeps/backtraces are mathematically independent, so they
+    batch on a leading region axis (the 1024-state vector only fills 1024 of
+    the VPU's lanes — batching regions is near-free) and the host reads ONE
+    [B, nkeep, R_pad] path array instead of 2 small arrays per region.  Every
+    region's candidates equal its solo viterbi_mutate_tpu output (row-indexed
+    backtrace keys; padded rows pass carries through)."""
+    B = len(events_lists)
+    if nkeep == 0:
+        return [viterbi_mutate_tpu(evs, 0, skip_prob, stay_prob, mut_min,
+                                   mut_max, verbose, seed) if evs else []
+                for evs in events_lists]
+    stats = []
+    for evs in events_lists:
+        if not evs:
+            stats.append(None)
+            continue
+        lvl, sd, valid = _position_stats(evs)
+        stats.append((lvl, sd, valid, evs) if len(lvl) else None)
+    act = [b for b in range(B) if stats[b] is not None]
+    if not act:
+        return [[] for _ in range(B)]
+
+    R_pad = max(((len(stats[b][0]) + 63) // 64) * 64 for b in act)
+    E_pad = max(len(stats[b][3]) for b in act)
+    Bp = _b_bucket(len(act))
+    lvl_a = np.zeros((Bp, R_pad, E_pad))
+    sd_a = np.zeros((Bp, R_pad, E_pad))
+    valid_a = np.zeros((Bp, R_pad, E_pad), dtype=bool)
+    tabs_a = np.zeros((Bp, 6, E_pad, 1024))
+    tabs_a[:, 1] = 1.0   # level_stdv: keep padded-event emissions finite
+    tabs_a[:, 3] = 1.0   # sd_mean
+    tabs_a[:, 4] = 1.0   # sd_lambda
+    n_real = np.zeros(Bp, dtype=np.int32)
+    for bp, b in enumerate(act):
+        lvl, sd, valid, evs = stats[b]
+        R_b, E_b = lvl.shape
+        lvl_a[bp, :R_b, :E_b] = lvl
+        sd_a[bp, :R_b, :E_b] = sd
+        valid_a[bp, :R_b, :E_b] = valid
+        n_real[bp] = R_b
+        for e, ev in enumerate(evs):
+            m, d = ev.model, ev.model.derived()
+            tabs_a[bp, 0, e] = m.level_mean
+            tabs_a[bp, 1, e] = m.level_stdv
+            tabs_a[bp, 2, e] = d["log_lev"]
+            tabs_a[bp, 3, e] = m.sd_mean
+            tabs_a[bp, 4, e] = d["sd_lambda"]
+            tabs_a[bp, 5, e] = d["log_lambda"]
+
+    obs = _obs_multi_fn()(jnp.asarray(lvl_a), jnp.asarray(sd_a),
+                          jnp.asarray(valid_a), jnp.asarray(tabs_a))
+    liks, fwds = _viterbi_sweep_multi(obs, jnp.asarray(n_real), skip_prob,
+                                      stay_prob)
+    startst = jnp.argmax(liks, axis=1).astype(jnp.int32)     # [Bp], on device
+
+    T = jnp.asarray(_build_T(skip_prob, stay_prob))
+    keys = jax.random.split(jax.random.PRNGKey(seed), nkeep)
+    attens = jnp.asarray(
+        [mut_min + (mut_max - mut_min) * k / float(nkeep)
+         for k in range(nkeep)])
+    valid_rows = jnp.arange(R_pad)[None, :] < jnp.asarray(n_real)[:, None]
+    # padded rows carry 1/1024 fwd probs exactly like the solo path's padding
+    fwds = jnp.where(valid_rows[:, :, None], fwds, 1.0 / 1024.0)
+    paths = _bt_multi_fn()(T, fwds, valid_rows, startst, attens, keys)
+    paths = np.asarray(paths)                                # ONE D2H read
+
+    out = [[] for _ in range(B)]
+    for bp, b in enumerate(act):
+        R_b = int(n_real[bp])
+        out[b] = [_states_to_seq(paths[bp, k, :R_b]) for k in range(nkeep)]
+    return out
+
+
+def _obs_multi_fn():
+    if "obs_multi" not in _SWEEP_CACHE:
+        def build(lvl, sd, valid, tabs):
+            lm, ls, ll, sm, lam, llam = (tabs[t][None] for t in range(6))
+            lvl = lvl[:, :, None]
+            sdc = jnp.maximum(sd[:, :, None], 1e-30)
+            d1 = (lvl - lm) / ls
+            ln = -0.5 * (d1 * d1 + LOG2PI) - ll
+            d2 = (sdc - sm) / sm
+            lig = 0.5 * (llam - 3.0 * jnp.log(sdc) - LOG2PI
+                         - d2 * d2 * lam / sdc)
+            per = ln + lig                                   # [R, E, 1024]
+            E = per.shape[1]
+            nlik = jnp.sum(valid, axis=1).astype(jnp.int32)  # [R]
+            nskip = jnp.floor(nlik * 0.25).astype(jnp.int32)
+            nskip = jnp.where((nskip > nlik - 2) | (nlik <= 1), 0, nskip)
+            neg = jnp.asarray(-jnp.inf, per.dtype)
+            per = jnp.where(valid[:, :, None], per, neg)
+            per = jnp.sort(per, axis=1)
+            start = (E - nlik + nskip)[:, None, None]
+            sel = jnp.arange(E, dtype=jnp.int32)[None, :, None] >= start
+            tot = jnp.sum(jnp.where(sel, per, 0.0), axis=1)
+            den = jnp.maximum(nlik - nskip, 1)[:, None]
+            return tot / den
+
+        _SWEEP_CACHE["obs_multi"] = jax.jit(jax.vmap(build))
+    return _SWEEP_CACHE["obs_multi"]
+
+
+def _viterbi_sweep_multi(obs, n_real, skip_prob, stay_prob):
+    """Batched _viterbi_sweep: obs [B, R_pad, 1024], n_real [B] (device).
+    Returns (liks [B, 1024] at each region's last real position,
+    fwds [B, R_pad, 1024]).  Backpointers are not emitted (the stochastic
+    pipeline path never reads them)."""
+    skip_lik = float(np.log(skip_prob))
+    stay_lik = float(np.log(stay_prob))
+    l25 = float(np.log(0.25))
+
+    def group_max(V, j):
+        g = V.reshape(1 << (2 * j), 1024 >> (2 * j)).max(axis=0)
+        return jnp.repeat(g, 1 << (2 * j))
+
+    def group_sum(F, j):
+        g = F.reshape(1 << (2 * j), 1024 >> (2 * j)).sum(axis=0)
+        return jnp.repeat(g, 1 << (2 * j))
+
+    def step(carry, xs):
+        ob, valid = xs
+        liks, fwd = carry
+        lsp1 = l25
+        lsp2 = l25 + l25 + skip_lik
+        lsp3 = lsp2 + l25 + skip_lik
+        m1 = group_max(liks, 1) + lsp1
+        m2 = group_max(liks, 2) + lsp2
+        m3 = group_max(liks, 3) + lsp3
+        mstay = liks + stay_lik
+        best = jnp.maximum(jnp.maximum(m1, m2), jnp.maximum(m3, mstay))
+        newlik = ob + best
+
+        sp1 = 0.25
+        sp2 = 0.25 * 0.25 * skip_prob
+        sp3 = sp2 * 0.25 * skip_prob
+        f = (sp1 * group_sum(fwd, 1) + sp2 * group_sum(fwd, 2)
+             + sp3 * group_sum(fwd, 3) + stay_prob * fwd)
+        f = f * jnp.exp(ob)
+        f = f / jnp.sum(f)
+        newlik = jnp.where(valid, newlik, liks)
+        f = jnp.where(valid, f, fwd)
+        return (newlik, f), f
+
+    def sweep(obs_b, valid_b):
+        init = (jnp.zeros(1024, obs_b.dtype),
+                jnp.full(1024, 1.0 / 1024.0, obs_b.dtype))
+        (liks, _), fwds = jax.lax.scan(step, init, (obs_b, valid_b))
+        return liks, fwds
+
+    key = ("multi", skip_prob, stay_prob)
+    if key not in _SWEEP_CACHE:
+        _SWEEP_CACHE[key] = jax.jit(jax.vmap(sweep))
+    R_pad = obs.shape[1]
+    valid = jnp.arange(R_pad)[None, :] < n_real[:, None]
+    return _SWEEP_CACHE[key](obs, valid)

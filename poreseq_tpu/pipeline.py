@@ -247,11 +247,20 @@ def _lockstep_consensus(sessions, params, reps, verbose):
                 break
             live = [not d for d in done]
             datas = [AlignData.from_session(pa) for _, pa, _ in sessions]
-            seqs_list = [
-                engine.viterbi_mutate(datas[j].events, 16, 0.05, 0.01, 0.33,
-                                      0.75, params["verbose"])
-                if live[j] else []
-                for j in range(len(sessions))]
+            vm_multi = getattr(engine, "viterbi_mutate_multi", None)
+            if vm_multi is not None:
+                # one device round-trip for ALL live regions' candidate
+                # generation (equal per-region outputs to the solo calls)
+                seqs_list = vm_multi(
+                    [datas[j].events if live[j] else []
+                     for j in range(len(sessions))],
+                    16, 0.05, 0.01, 0.33, 0.75, params["verbose"])
+            else:
+                seqs_list = [
+                    engine.viterbi_mutate(datas[j].events, 16, 0.05, 0.01,
+                                          0.33, 0.75, params["verbose"])
+                    if live[j] else []
+                    for j in range(len(sessions))]
             mutate_datas(engine, datas, seqs_list, reps, live=live)
             getattr(engine, "flush_ref_likes", lambda: None)()
             for j, (_, pa, _) in enumerate(sessions):

@@ -89,7 +89,7 @@ def main():
                  "best_s": float(min(ts)),
                  "s_per_region_median": float(np.median(ts)) / R,
                  "runs": [round(t, 2) for t in ts]}
-           for tag, ts in times.items()}
+           for tag, ts in times.items() if ts}
     print(json.dumps(res, indent=1))
 
     if args.profile:

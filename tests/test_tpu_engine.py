@@ -190,3 +190,59 @@ def test_defer_rlk_bounded():
     eng.flush_ref_likes()
     assert not eng._rlk_pending
     assert all(ev.ref_like is not None for ev in evs)
+
+
+def test_tpu_viterbi_multi_matches_solo():
+    """viterbi_mutate_tpu_multi must yield each region's solo candidates
+    exactly (row-indexed backtrace keys make the batch padding invisible)."""
+    from poreseq_tpu.engine.tpu.viterbi import (viterbi_mutate_tpu,
+                                                viterbi_mutate_tpu_multi)
+
+    pa1, _ = _session(seed=3, ref_len=150, coverage=6)
+    pa2, _ = _session(seed=9, ref_len=220, coverage=4)
+    solo1 = viterbi_mutate_tpu(pa1.events, 4, 0.05, 0.01, 0.33, 0.75)
+    solo2 = viterbi_mutate_tpu(pa2.events, 4, 0.05, 0.01, 0.33, 0.75)
+    multi = viterbi_mutate_tpu_multi([pa1.events, [], pa2.events], 4,
+                                     0.05, 0.01, 0.33, 0.75)
+    assert multi[0] == solo1
+    assert multi[1] == []
+    assert multi[2] == solo2
+
+
+def test_device_geometry_matches_host():
+    """PSQ_DEV_GEOM=1 (post-backtrace scoring geometry computed on device,
+    mutscore._geom_body) must reproduce the host limited_geometry path's
+    mutation scores and realignments exactly."""
+    import os
+
+    from poreseq_tpu.engine.driver import find_point_mutations
+    from poreseq_tpu.engine.tpu import TpuEngine
+
+    def run(devgeom):
+        os.environ["PSQ_DEV_GEOM"] = devgeom
+        try:
+            datas, mutsl = [], []
+            for seed in (1, 2):
+                pa, _ = _session(seed=seed, ref_len=120, coverage=5,
+                                 draft_error=0.04, backend="tpu")
+                d = AlignData.from_session(pa)
+                d.params.realign_width = 20
+                d.params.scoring_width = 9
+                datas.append(d)
+                mutsl.append(find_point_mutations(d))
+            eng = TpuEngine()
+            out = eng.score_mutations_multi(datas, mutsl)
+            eng.flush_ref_likes()
+            scores = [np.array([m.score for m in ms]) for ms in out]
+            rals = [np.concatenate([ev.ref_align for ev in d.events])
+                    for d in datas]
+            return scores, rals
+        finally:
+            os.environ.pop("PSQ_DEV_GEOM", None)
+
+    s_host, r_host = run("0")
+    s_dev, r_dev = run("1")
+    for a, b in zip(s_host, s_dev):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(r_host, r_dev):
+        np.testing.assert_array_equal(a, b)
