@@ -873,6 +873,9 @@ def score_mutations_multi(engine, datas, muts_list):
     P = 9
 
     E = len(n0)
+    # 32-granular: measured on the bench chip, E_g=16 (tighter slices at 10X
+    # coverage's ~10 rows/region) ran ~1.5 s/run SLOWER than 32 — the group
+    # kernel is per-group-overhead-bound, not event-row-bound, at this scale
     E_g = min(round_up(max(max_rev, sw or 1), 32), E)
     if use_dev_geom:
         i0r_h = i1r_h = None
